@@ -1,0 +1,144 @@
+"""Typed configuration with environment overrides.
+
+Reproduces the reference's three config tiers (see SURVEY.md section 5 and
+/root/reference/server-node/src/config/secrets.js:1-38):
+
+1. hard-required secrets asserted at boot (``assert_required_secrets``),
+2. optional env knobs with inline defaults (same knob names as the reference
+   where the contract demands it, e.g. ``RATE_LIMIT_USER_LIMIT``),
+3. constructor-injected options on every service factory (DI for tests).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass, field
+
+
+# Required in production deployments (reference: config/secrets.js:1-8). In dev
+# every consumer degrades to a local fake, mirroring the reference's mock tiers.
+REQUIRED_SECRETS = (
+    "FIRESTORE_CREDS",
+    "REDIS_URL",
+    "STRIPE_WEBHOOK_SECRET",
+    "NEXT_PUBLIC_API_URL",
+    "LOG_LEVEL",
+)
+
+
+def list_required_secrets() -> tuple[str, ...]:
+    return REQUIRED_SECRETS
+
+
+def assert_required_secrets(env: dict | None = None, *, exit_on_missing: bool = True) -> list[str]:
+    """Fail-fast startup gate (reference: config/secrets.js:17-38).
+
+    Returns the list of missing secrets; exits the process when
+    ``exit_on_missing`` and anything is missing, unless ``ALLOW_DEGRADED=1``
+    (our dev/TPU-bench mode, where all external clients run as local fakes).
+    """
+    env = env if env is not None else os.environ
+    missing = [k for k in REQUIRED_SECRETS if not env.get(k)]
+    if missing and env.get("ALLOW_DEGRADED", "1") != "1" and exit_on_missing:
+        print(
+            f"[secrets] Missing required secrets: {', '.join(missing)}. "
+            "Set them in the environment (the reference injects them via Doppler).",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+    return missing
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
+def _env_float(name: str, default: float) -> float:
+    try:
+        return float(os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
+@dataclass
+class RateLimitConfig:
+    # knob names follow the reference (middleware/rateLimit.js:74-84)
+    user_limit: int = field(default_factory=lambda: _env_int("RATE_LIMIT_USER_LIMIT", 120))
+    user_interval_s: int = field(default_factory=lambda: _env_int("RATE_LIMIT_USER_INTERVAL", 60))
+    ip_limit: int = field(default_factory=lambda: _env_int("RATE_LIMIT_IP_LIMIT", 100))
+    ip_interval_s: int = field(default_factory=lambda: _env_int("RATE_LIMIT_IP_INTERVAL", 60))
+
+
+@dataclass
+class UploadConfig:
+    # reference: middleware/uploadValidation.js:6-9, imagePreprocess.js:4-5
+    max_file_size_bytes: int = 10 * 1024 * 1024
+    max_dimension: int = 2048
+    jpeg_quality: int = 85
+    max_images_per_call: int = 3
+    accepted_mimes: tuple[str, ...] = ("image/jpeg", "image/png", "image/webp")
+    accepted_extensions: tuple[str, ...] = (".jpg", ".jpeg", ".png", ".webp")
+    retry_after_seconds: int = 60
+
+
+@dataclass
+class CreditsConfig:
+    # reference: services/credits.js:14-16
+    daily_free_limit: int = field(default_factory=lambda: _env_int("CREDITS_DAILY_FREE_LIMIT", 3))
+    cache_ttl_seconds: int = 60
+
+
+@dataclass
+class QueueConfig:
+    # reference: queues/jobQueue.js:4-9,37-45
+    attempts: int = field(default_factory=lambda: _env_int("JOBS_MAX_ATTEMPTS", 5))
+    backoff_base_ms: int = field(default_factory=lambda: _env_int("JOBS_BACKOFF_BASE_MS", 500))
+    backoff_jitter: float = 0.3
+    keep_completed: int = field(default_factory=lambda: _env_int("JOBS_KEEP_COMPLETED", 100))
+    keep_failed: int = field(default_factory=lambda: _env_int("JOBS_KEEP_FAILED", 500))
+
+
+@dataclass
+class ServingConfig:
+    # micro-batching loop over the device mesh (BASELINE.json config 5)
+    max_batch: int = field(default_factory=lambda: _env_int("SERVE_MAX_BATCH", 8))
+    max_wait_ms: float = field(default_factory=lambda: _env_float("SERVE_MAX_WAIT_MS", 5.0))
+    # canonical device-side resolutions; requests are bucketed to these so every
+    # batch hits a cached XLA executable (SURVEY.md "hard parts")
+    size_buckets: tuple[int, ...] = (256, 512, 1024)
+    batch_concurrency: int = field(
+        default_factory=lambda: max(1, _env_int("RESTORATION_BATCH_CONCURRENCY", 3))
+    )
+    batch_delay_ms: int = field(default_factory=lambda: _env_int("RESTORATION_BATCH_DELAY_MS", 0))
+    request_deadline_s: float = field(default_factory=lambda: _env_float("SERVE_DEADLINE_S", 120.0))
+
+
+@dataclass
+class MeshConfig:
+    # axis sizes; -1 means "use all remaining devices on the data axis"
+    data: int = field(default_factory=lambda: _env_int("MESH_DATA", -1))
+    tensor: int = field(default_factory=lambda: _env_int("MESH_TENSOR", 1))
+    spatial: int = field(default_factory=lambda: _env_int("MESH_SPATIAL", 1))
+
+
+@dataclass
+class Config:
+    port: int = field(default_factory=lambda: _env_int("PORT", 8080))
+    log_level: str = field(default_factory=lambda: os.environ.get("LOG_LEVEL", "info"))
+    health_metric_sample_size: int = field(
+        default_factory=lambda: _env_int("HEALTH_METRIC_SAMPLE_SIZE", 1000)
+    )
+    rate_limit: RateLimitConfig = field(default_factory=RateLimitConfig)
+    upload: UploadConfig = field(default_factory=UploadConfig)
+    credits: CreditsConfig = field(default_factory=CreditsConfig)
+    queue: QueueConfig = field(default_factory=QueueConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def load_config() -> Config:
+    return Config()

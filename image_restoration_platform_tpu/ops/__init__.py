@@ -1,0 +1,19 @@
+from .stencil import conv3x3_clamped_u8, gaussian_blur, K_LAPLACIAN8, K_HIGHPASS9, K_LAPLACIAN4
+from .stats import channel_stats, flat_variance
+from .resize import resize, resize_matrix
+from .tile import tile_image, blend_tiles, tile_grid
+
+__all__ = [
+    "conv3x3_clamped_u8",
+    "gaussian_blur",
+    "K_LAPLACIAN8",
+    "K_HIGHPASS9",
+    "K_LAPLACIAN4",
+    "channel_stats",
+    "flat_variance",
+    "resize",
+    "resize_matrix",
+    "tile_image",
+    "blend_tiles",
+    "tile_grid",
+]

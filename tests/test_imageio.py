@@ -1,0 +1,118 @@
+"""Native codec stage tests: decode/encode/sniff/orient + fuzz corpus.
+
+Covers what the reference only spec'd (SURVEY.md section 4: fuzz tests for
+corrupt/polyglot images, EXIF strip property)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from image_restoration_platform_tpu import imageio
+
+
+@pytest.fixture(scope="module")
+def rgb():
+    rng = np.random.default_rng(42)
+    return rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+
+
+def test_native_library_builds():
+    assert imageio.native_available()
+
+
+def test_jpeg_roundtrip(rgb):
+    data = imageio.encode_jpeg(rgb, quality=95)
+    assert imageio.sniff_format(data) == "jpeg"
+    decoded = imageio.decode_image(data)
+    assert decoded.format == "jpeg"
+    assert decoded.pixels.shape == rgb.shape
+    # q95 roundtrip should be close
+    assert np.abs(decoded.pixels.astype(int) - rgb.astype(int)).mean() < 12
+
+
+def test_png_roundtrip_lossless(rgb):
+    data = imageio.encode_png(rgb)
+    assert imageio.sniff_format(data) == "png"
+    decoded = imageio.decode_image(data)
+    assert np.array_equal(decoded.pixels, rgb)
+
+
+def test_webp_roundtrip(rgb):
+    data = imageio.encode_webp(rgb, quality=90)
+    assert imageio.sniff_format(data) == "webp"
+    decoded = imageio.decode_image(data)
+    assert decoded.pixels.shape == rgb.shape
+
+
+def test_jpeg_attaches_srgb_icc(rgb):
+    data = imageio.encode_jpeg(rgb, attach_srgb_icc=True)
+    assert b"ICC_PROFILE" in data
+    # and the stream still decodes
+    assert imageio.decode_image(data).pixels.shape == rgb.shape
+
+
+def test_jpeg_strips_exif(rgb):
+    # PIL writes EXIF; our encoder must not carry it through re-encode
+    from PIL import Image
+
+    buf = io.BytesIO()
+    im = Image.fromarray(rgb)
+    exif = im.getexif()
+    exif[0x0112] = 6  # orientation
+    exif[0x0131] = "secret-software-tag"
+    im.save(buf, "JPEG", exif=exif.tobytes())
+    decoded = imageio.decode_image(buf.getvalue())
+    assert decoded.orientation == 6
+
+    reencoded = imageio.encode_jpeg(decoded.pixels)
+    assert b"Exif" not in reencoded
+
+
+def test_exif_auto_orient(rgb):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    im = Image.fromarray(rgb)
+    exif = im.getexif()
+    exif[0x0112] = 6  # rotate 90 CW to display
+    im.save(buf, "JPEG", quality=95, exif=exif.tobytes())
+
+    decoded = imageio.decode_image(buf.getvalue())
+    # 64x96 rotated -> 96 wide becomes 64, etc.
+    assert (decoded.height, decoded.width) == (96, 64)
+
+    unoriented = imageio.decode_image(buf.getvalue(), auto_orient=False)
+    assert (unoriented.height, unoriented.width) == (64, 96)
+
+
+def test_sniff_rejects_unknown():
+    assert imageio.sniff_format(b"GIF89a not supported") is None
+    assert imageio.sniff_format(b"\x00" * 32) is None
+
+
+@pytest.mark.parametrize(
+    "corrupt",
+    [
+        b"",
+        b"\xff\xd8\xff",  # jpeg magic, no body
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 16,  # png magic, garbage body
+        b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8,
+        b"\xff\xd8\xff\xe0" + bytes(range(256)) * 4,  # fuzzed jpeg-ish
+    ],
+)
+def test_fuzz_corrupt_inputs_raise(corrupt):
+    with pytest.raises(ValueError):
+        imageio.decode_image(corrupt)
+
+
+def test_truncated_jpeg_does_not_crash(rgb):
+    data = imageio.encode_jpeg(rgb)
+    truncated = data[: len(data) // 2]
+    # libjpeg may error or salvage partial rows; either way: no crash, and
+    # any returned pixels have the advertised shape
+    try:
+        decoded = imageio.decode_image(truncated)
+        assert decoded.pixels.shape[2] == 3
+    except ValueError:
+        pass
