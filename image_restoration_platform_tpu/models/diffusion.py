@@ -1,0 +1,90 @@
+"""Conditional diffusion restoration: DDIM sampling over the shared U-Net.
+
+The "diffusion U-Net" model family from the north star (BASELINE.json). Reuses
+models/unet.py with ``time_conditioned=True`` as the epsilon-predictor; the
+degradation conditioning vector steers restoration exactly as in the
+single-step model. Sampling is a ``jax.lax.scan`` over a static step count —
+one compiled program regardless of the number of steps, no Python loop in the
+hot path (XLA control-flow rule).
+
+The schedule is cosine alpha-bar (Nichol & Dhariwal); restoration runs
+SDEdit-style: the degraded image is noised to an intermediate timestep
+(strength in (0,1]) and denoised back, preserving content while removing
+degradations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import unet
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    timesteps: int = 1000
+    sample_steps: int = 8
+    strength: float = 0.3       # SDEdit noising strength for restoration
+    unet: unet.UNetConfig = unet.UNetConfig(time_conditioned=True)
+
+
+def alpha_bar(t_frac: jax.Array) -> jax.Array:
+    """Cosine schedule cumulative alpha at t/T in [0,1]."""
+    s = 0.008
+    f = jnp.cos((t_frac + s) / (1 + s) * jnp.pi / 2) ** 2
+    f0 = jnp.cos(jnp.asarray(s / (1 + s)) * jnp.pi / 2) ** 2
+    return jnp.clip(f / f0, 1e-5, 1.0)
+
+
+def init(key: jax.Array, config: DiffusionConfig = DiffusionConfig()) -> dict:
+    return unet.init(key, config.unet)
+
+
+def add_noise(x0: jax.Array, noise: jax.Array, t_frac: jax.Array) -> jax.Array:
+    ab = alpha_bar(t_frac)
+    while ab.ndim < x0.ndim:
+        ab = ab[..., None]
+    return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
+
+
+@partial(jax.jit, static_argnames=("config",))
+def restore(
+    params: dict,
+    x: jax.Array,
+    cond: jax.Array,
+    key: jax.Array,
+    config: DiffusionConfig = DiffusionConfig(),
+) -> jax.Array:
+    """SDEdit restoration: noise the input to ``strength`` and DDIM back to 0.
+
+    x [N,H,W,3] in [0,1]; returns the restored image, same shape/range.
+    """
+    c = config
+    # work in [-1, 1]
+    x0 = x * 2.0 - 1.0
+    noise = jax.random.normal(key, x0.shape, dtype=x0.dtype)
+    t_start = jnp.asarray(c.strength)
+    xt = add_noise(x0, noise, t_start)
+
+    # DDIM timestep ladder from strength -> 0 (static length => one executable)
+    fracs = jnp.linspace(c.strength, 0.0, c.sample_steps + 1)
+
+    def step(carry, idx):
+        xt = carry
+        t_now = fracs[idx]
+        t_next = fracs[idx + 1]
+        t_vec = jnp.full((x.shape[0],), t_now * c.timesteps, dtype=jnp.float32)
+        eps = unet.apply(params, xt, cond, t=t_vec, config=c.unet) - xt  # residual head predicts x+res; recover eps-space
+        ab_now = alpha_bar(t_now)
+        ab_next = alpha_bar(t_next)
+        x0_pred = (xt - jnp.sqrt(1.0 - ab_now) * eps) / jnp.sqrt(ab_now)
+        x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+        xt_next = jnp.sqrt(ab_next) * x0_pred + jnp.sqrt(1.0 - ab_next) * eps
+        return xt_next, None
+
+    xt, _ = jax.lax.scan(step, xt, jnp.arange(c.sample_steps))
+    return jnp.clip((xt + 1.0) * 0.5, 0.0, 1.0)

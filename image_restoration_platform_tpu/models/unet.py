@@ -1,0 +1,184 @@
+"""RestorationUNet — the flagship conditioned restoration backbone.
+
+Replaces the reference's external Gemini image-model call
+(/root/reference/server-node/src/clients/geminiClient.js:32-97) with an on-TPU
+model. The prompt enhancer's template selection becomes a 28-dim conditioning
+vector (prompt/enhancer.py) injected through FiLM modulation after every
+GroupNorm — the numeric analog of "reduce severe motion blur, ...".
+
+Architecture (TPU-first choices):
+  - NHWC everywhere; channel counts are multiples of 64 so convs tile cleanly
+    onto the 128x128 MXU in bf16
+  - encoder/decoder with stride-2 conv downsampling and nearest+conv
+    upsampling, residual blocks with GroupNorm -> SiLU -> conv and FiLM
+  - spatial self-attention at the bottleneck only (H/8 x W/8 tokens)
+  - global residual: the network predicts a correction added to its input,
+    so identity restoration is the zero-init fixed point
+  - optional sinusoidal timestep embedding (shared cond MLP) so the same
+    backbone serves as the epsilon-model for the diffusion sampler
+
+The forward is shape-polymorphic across the serving buckets (256/512/1024);
+each bucket compiles once and is cached (serve/batcher.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from . import nn
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    base_channels: int = 64
+    channel_mults: tuple[int, ...] = (1, 2, 4)
+    blocks_per_level: int = 2
+    cond_dim: int = 28           # prompt.COND_DIM
+    emb_dim: int = 256
+    attn_heads: int = 4
+    norm_groups: int = 32
+    time_conditioned: bool = False  # True for the diffusion variant
+
+
+def _res_block_init(key, in_ch, out_ch, emb_dim):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "norm1": nn.group_norm_init(in_ch),
+        "conv1": nn.conv_init(k1, in_ch, out_ch),
+        "film": nn.film_init(k2, emb_dim, out_ch),
+        "norm2": nn.group_norm_init(out_ch),
+        "conv2": nn.conv_init(k3, out_ch, out_ch, scale=0.1),
+    }
+    if in_ch != out_ch:
+        p["skip"] = nn.conv_init(k4, in_ch, out_ch, kernel=1)
+    return p
+
+
+def _res_block(p, x, emb, groups):
+    h = nn.group_norm(p["norm1"], x, groups)
+    h = nn.silu(h)
+    h = nn.conv2d(p["conv1"], h)
+    h = nn.film(p["film"], h, emb)
+    h = nn.group_norm(p["norm2"], h, groups)
+    h = nn.silu(h)
+    h = nn.conv2d(p["conv2"], h)
+    skip = nn.conv2d(p["skip"], x) if "skip" in p else x
+    return skip + h
+
+
+def init(key: jax.Array, config: UNetConfig = UNetConfig()) -> dict:
+    c = config
+    keys = iter(jax.random.split(key, 256))
+    ch = [c.base_channels * m for m in c.channel_mults]
+
+    cond_in = c.cond_dim + (c.emb_dim if c.time_conditioned else 0)
+    params: dict = {
+        "cond_mlp1": nn.dense_init(next(keys), cond_in, c.emb_dim),
+        "cond_mlp2": nn.dense_init(next(keys), c.emb_dim, c.emb_dim),
+        "stem": nn.conv_init(next(keys), c.in_channels, ch[0]),
+    }
+
+    # encoder
+    enc = []
+    in_ch = ch[0]
+    for level, out_ch in enumerate(ch):
+        level_p = {"blocks": []}
+        for _ in range(c.blocks_per_level):
+            level_p["blocks"].append(_res_block_init(next(keys), in_ch, out_ch, c.emb_dim))
+            in_ch = out_ch
+        if level < len(ch) - 1:
+            level_p["down"] = nn.conv_init(next(keys), out_ch, out_ch)
+        enc.append(level_p)
+    params["enc"] = enc
+
+    # bottleneck with attention
+    params["mid"] = {
+        "block1": _res_block_init(next(keys), in_ch, in_ch, c.emb_dim),
+        "attn": nn.attention_init(next(keys), in_ch),
+        "block2": _res_block_init(next(keys), in_ch, in_ch, c.emb_dim),
+    }
+
+    # decoder (mirror): the first block of each level consumes the encoder
+    # skip concat, subsequent blocks run at the level width
+    dec = []
+    for level in reversed(range(len(ch))):
+        out_ch = ch[level]
+        level_p = {"blocks": []}
+        for j in range(c.blocks_per_level):
+            block_in = in_ch + out_ch if j == 0 else out_ch
+            level_p["blocks"].append(_res_block_init(next(keys), block_in, out_ch, c.emb_dim))
+        in_ch = out_ch
+        if level > 0:
+            level_p["up"] = nn.conv_init(next(keys), out_ch, out_ch)
+        dec.append(level_p)
+    params["dec"] = dec
+
+    params["head_norm"] = nn.group_norm_init(ch[0])
+    # zero-init head: the model starts as the identity restoration
+    params["head"] = {
+        "w": jnp.zeros((3, 3, ch[0], c.out_channels), jnp.float32),
+        "b": jnp.zeros((c.out_channels,), jnp.float32),
+    }
+    return params
+
+
+def apply(
+    params: dict,
+    x: jax.Array,
+    cond: jax.Array,
+    t: jax.Array | None = None,
+    config: UNetConfig = UNetConfig(),
+) -> jax.Array:
+    """Forward pass: x [N,H,W,3] in [0,1], cond [N,cond_dim] -> restored [N,H,W,3].
+
+    H and W must be divisible by 2**(len(channel_mults)-1); the serving layer
+    guarantees this via size bucketing (config.serving.size_buckets).
+    """
+    c = config
+    dtype = x.dtype
+
+    emb_in = cond.astype(dtype)
+    if c.time_conditioned:
+        if t is None:
+            t = jnp.zeros((x.shape[0],), dtype=jnp.float32)
+        emb_in = jnp.concatenate(
+            [emb_in, nn.sinusoidal_embedding(t, c.emb_dim).astype(dtype)], axis=-1
+        )
+    emb = nn.dense(params["cond_mlp1"], emb_in)
+    emb = nn.silu(emb)
+    emb = nn.dense(params["cond_mlp2"], emb)
+
+    h = nn.conv2d(params["stem"], x)
+
+    skips = []
+    for level, level_p in enumerate(params["enc"]):
+        for bp in level_p["blocks"]:
+            h = _res_block(bp, h, emb, c.norm_groups)
+        skips.append(h)
+        if "down" in level_p:
+            h = nn.conv2d(level_p["down"], h, stride=2)
+
+    mid = params["mid"]
+    h = _res_block(mid["block1"], h, emb, c.norm_groups)
+    h = nn.attention(mid["attn"], h, c.attn_heads)
+    h = _res_block(mid["block2"], h, emb, c.norm_groups)
+
+    for i, level_p in enumerate(params["dec"]):
+        skip = skips[len(skips) - 1 - i]
+        if h.shape[1] != skip.shape[1]:
+            h = nn.upsample_nearest(h, skip.shape[1] // h.shape[1])
+        h = jnp.concatenate([h, skip], axis=-1)
+        for bp in level_p["blocks"]:
+            h = _res_block(bp, h, emb, c.norm_groups)
+        if "up" in level_p:
+            h = nn.conv2d(level_p["up"], h)
+
+    h = nn.group_norm(params["head_norm"], h, c.norm_groups)
+    h = nn.silu(h)
+    residual = nn.conv2d(params["head"], h)
+    return x + residual.astype(dtype)

@@ -1,0 +1,14 @@
+from .mesh import make_mesh, mesh_axes, default_mesh
+from .sharding import activation_sharding, shard_params, replicate
+from .halo import halo_exchange_rows, spatial_shard_apply
+
+__all__ = [
+    "make_mesh",
+    "mesh_axes",
+    "default_mesh",
+    "activation_sharding",
+    "shard_params",
+    "replicate",
+    "halo_exchange_rows",
+    "spatial_shard_apply",
+]

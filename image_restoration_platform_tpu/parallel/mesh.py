@@ -1,0 +1,77 @@
+"""Device mesh construction over ICI (+ DCN for multi-host).
+
+The reference's "distributed backend" is Redis + BullMQ (SURVEY.md section
+2.3); the device-parallel layer it lacks lives here. Axes:
+
+  data    — batch-sharded serving/training (DP)
+  tensor  — channel/head-sharded model parallelism (TP)
+  spatial — image-row sharding for large tiled inference, the image-domain
+            analog of sequence/context parallelism (SP); halo exchange in
+            parallel/halo.py rides ``ppermute`` over this axis
+
+``jax.make_mesh`` lays devices out so the innermost axes map to ICI neighbours
+(contiguous device order); across hosts, ``jax.distributed.initialize`` (see
+``maybe_initialize_distributed``) extends the same mesh over DCN with the data
+axis outermost, which keeps collective-heavy TP/SP traffic on ICI.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import jax
+from jax.sharding import Mesh
+
+AXIS_DATA = "data"
+AXIS_TENSOR = "tensor"
+AXIS_SPATIAL = "spatial"
+
+
+def mesh_axes() -> tuple[str, str, str]:
+    return (AXIS_DATA, AXIS_TENSOR, AXIS_SPATIAL)
+
+
+def maybe_initialize_distributed() -> None:
+    """Multi-host bring-up via env (JAX_COORDINATOR / JAX_PROCESS_ID)."""
+    coordinator = os.environ.get("JAX_COORDINATOR")
+    if coordinator and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", 1)),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", 0)),
+        )
+
+
+def make_mesh(
+    devices=None,
+    data: int = -1,
+    tensor: int = 1,
+    spatial: int = 1,
+) -> Mesh:
+    """Build a (data, tensor, spatial) mesh. ``data=-1`` absorbs the rest."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tensor * spatial > n or n % (tensor * spatial) != 0:
+        raise ValueError(
+            f"{n} devices not divisible by tensor({tensor}) x spatial({spatial})"
+        )
+    if data == -1:
+        data = n // (tensor * spatial)
+    if data * tensor * spatial != n:
+        raise ValueError(
+            f"mesh {data}x{tensor}x{spatial} != device count {n}"
+        )
+    import numpy as np
+
+    dev_array = np.asarray(devices).reshape(data, tensor, spatial)
+    return Mesh(dev_array, mesh_axes())
+
+
+@lru_cache(maxsize=1)
+def default_mesh() -> Mesh:
+    """Process-wide mesh from MESH_DATA/MESH_TENSOR/MESH_SPATIAL env knobs."""
+    from ..config import load_config
+
+    cfg = load_config().mesh
+    return make_mesh(data=cfg.data, tensor=cfg.tensor, spatial=cfg.spatial)

@@ -8,11 +8,16 @@ the standard way to validate pjit/shard_map programs without a pod.
 import os
 
 # must be set before jax initialises its backend
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("ALLOW_DEGRADED", "1")
+
+import jax  # noqa: E402
+
+# the sandbox site config pins JAX_PLATFORMS to the TPU plugin; the config
+# update (not the env var) is what actually forces CPU here
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
