@@ -1,0 +1,103 @@
+"""Benchmark: images/sec/chip at 512px single-image restore (BASELINE.json).
+
+Measures the full serving pipeline on the available device (TPU when present):
+JPEG decode (C++ host stage) -> letterbox -> fused device program (masked
+classification + conditioning + restoration U-Net, one XLA launch) -> crop ->
+JPEG encode. Reports the primary metric as ONE JSON line on stdout; detail
+metrics (batched device throughput, p50/p95 latency) go to stderr.
+
+vs_baseline compares against the CPU reference of the SAME pipeline, measured
+on this machine (1-core CPU, XLA:CPU, flagship restore-unet, 512px e2e):
+0.0419 images/sec — see BASELINE.md. The north-star target is >=10x.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+CPU_BASELINE_IMAGES_PER_SEC = 0.0419  # measured 2026-08-16, see BASELINE.md
+
+N_WARM = 2
+N_SINGLE = 12
+N_BATCHED_STEPS = 6
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from image_restoration_platform_tpu import imageio
+    from image_restoration_platform_tpu.config import ServingConfig
+    from image_restoration_platform_tpu.serve import RestorationEngine, RestoratorService
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    cfg = ServingConfig(size_buckets=(512,), max_batch=8)
+    engine = RestorationEngine(serving_config=cfg)
+    service = RestoratorService(engine=engine, serving_config=cfg)
+
+    rng = np.random.default_rng(0)
+    img = np.clip(rng.normal(0, 20, (512, 512, 3)) + [90, 80, 70], 0, 255).astype(np.uint8)
+    photo = imageio.encode_jpeg(img, quality=80)
+
+    # ---- warmup (compile; persistent cache makes reruns fast)
+    t0 = time.time()
+    for _ in range(N_WARM):
+        result = service.restore(photo, options={"model": "restore-unet"})
+        assert result["success"], result.get("error")
+    log(f"warmup: {time.time() - t0:.1f}s")
+
+    # ---- single-image e2e latency/throughput
+    latencies = []
+    t0 = time.time()
+    for _ in range(N_SINGLE):
+        t = time.time()
+        result = service.restore(photo, options={"model": "restore-unet"})
+        assert result["success"]
+        latencies.append((time.time() - t) * 1000)
+    wall = time.time() - t0
+    e2e_ips = N_SINGLE / wall
+    lat = np.asarray(latencies)
+    log(
+        f"e2e single 512px: {e2e_ips:.3f} images/sec | "
+        f"p50 {np.percentile(lat, 50):.0f} ms | p95 {np.percentile(lat, 95):.0f} ms"
+    )
+
+    # ---- batched device throughput (continuous micro-batching upper bound)
+    canvas = np.repeat(img[None], cfg.max_batch, axis=0)
+    valid = np.tile(np.asarray([[512, 512]], np.int32), (cfg.max_batch, 1))
+    jpeg_f = np.ones((cfg.max_batch,), np.float32)
+    engine.restore_batch(canvas, valid, jpeg_f, "restore-unet")  # warm batch-8
+    t0 = time.time()
+    for _ in range(N_BATCHED_STEPS):
+        engine.restore_batch(canvas, valid, jpeg_f, "restore-unet")
+    batched_ips = (N_BATCHED_STEPS * cfg.max_batch) / (time.time() - t0)
+    log(f"batched device 512px (b{cfg.max_batch}): {batched_ips:.3f} images/sec/chip")
+
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_512px_single_restore_e2e",
+                "value": round(e2e_ips, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(e2e_ips / CPU_BASELINE_IMAGES_PER_SEC, 2),
+                "detail": {
+                    "p50_ms": round(float(np.percentile(lat, 50)), 1),
+                    "p95_ms": round(float(np.percentile(lat, 95)), 1),
+                    "batched_images_per_sec_per_chip": round(batched_ips, 3),
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

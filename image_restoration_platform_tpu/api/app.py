@@ -1,0 +1,76 @@
+"""aiohttp application factory + server entry point.
+
+Composition mirrors the reference's server.js: secrets gate -> middleware
+chain -> health router -> authenticated /v1 router -> error handler.
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+from aiohttp import web
+
+from ..config import Config, assert_required_secrets, load_config
+from ..utils.logging import get_logger
+from .context import AppContext
+from .middleware import (
+    auth_middleware_factory,
+    error_middleware,
+    idempotency_middleware_factory,
+    rate_limit_middleware_factory,
+    request_context_middleware,
+    security_headers_middleware,
+    timing_middleware,
+)
+from .routes import setup_routes
+
+_log = get_logger("server")
+
+
+def create_app(ctx: AppContext | None = None, config: Config | None = None) -> web.Application:
+    config = config or load_config()
+    ctx = ctx or AppContext(config=config)
+
+    app = web.Application(
+        client_max_size=config.upload.max_file_size_bytes + 64 * 1024,
+        middlewares=[
+            request_context_middleware,
+            timing_middleware,
+            error_middleware,          # inside request-context so problems echo X-Request-Id
+            security_headers_middleware,
+            auth_middleware_factory(ctx),
+            rate_limit_middleware_factory(ctx),
+            idempotency_middleware_factory(ctx),
+        ],
+    )
+    app["ctx"] = ctx
+    setup_routes(app)
+
+    async def on_shutdown(app: web.Application) -> None:
+        # graceful queue drain on SIGTERM (SURVEY.md section 5)
+        await asyncio.to_thread(ctx.shutdown)
+
+    app.on_shutdown.append(on_shutdown)
+    return app
+
+
+def main() -> None:
+    import os
+
+    config = load_config()
+    assert_required_secrets()
+    ctx = AppContext(config=config)
+    warmup = os.environ.get("SERVE_WARMUP", "")
+    if warmup:
+        # e.g. SERVE_WARMUP=256,512 — compile-cache warmup before accepting
+        # traffic; with the persistent XLA cache this is fast after first boot
+        sizes = tuple(int(s) for s in warmup.split(",") if s)
+        _log.info("Warming serving executables", {"buckets": list(sizes)})
+        ctx.engine.warmup(sizes=sizes, batches=(1, config.serving.max_batch))
+    app = create_app(ctx=ctx, config=config)
+    _log.info("Starting server", {"port": config.port})
+    web.run_app(app, port=config.port, print=None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Service composition root (the reference's context/services.js + clients.js).
+
+Builds the memoized singleton service graph wired into the aiohttp app:
+store -> rate limiter / idempotency / credits; engine -> batcher -> restorator;
+job store -> queue (with the refund-on-exhaustion compensation hook).
+"""
+
+from __future__ import annotations
+
+import base64
+from dataclasses import dataclass
+
+from ..classify import ClassifierService
+from ..config import Config, load_config
+from ..prompt import PromptEnhancerService
+from ..serve import (
+    CreditsService,
+    DurableUserStore,
+    IdempotencyService,
+    JobQueue,
+    JobStore,
+    Ledger,
+    MemoryStore,
+    MicroBatcher,
+    ModerationService,
+    RateLimiter,
+    RestorationEngine,
+    RestoratorService,
+)
+from ..serve.jobs import Job
+from ..utils.logging import get_logger
+
+
+@dataclass
+class BlobStore:
+    """Pre-signed-upload analog: short-lived server-side blobs keyed by token
+    (the reference uses GCS V4 signed URLs, gcsClient.js:44-67)."""
+
+    store: MemoryStore
+    ttl_seconds: int = 15 * 60
+
+    def put(self, token: str, data: bytes) -> None:
+        self.store.set(f"blob:{token}", data, self.ttl_seconds)
+
+    def get(self, token: str) -> bytes | None:
+        return self.store.get(f"blob:{token}")
+
+
+class AppContext:
+    def __init__(
+        self,
+        config: Config | None = None,
+        engine: RestorationEngine | None = None,
+        use_batcher: bool = True,
+        queue_workers: int = 2,
+    ):
+        self.config = config or load_config()
+        self.logger = get_logger("app")
+        self.store = MemoryStore()
+        self.rate_limiter = RateLimiter(self.store, self.config.rate_limit)
+        self.idempotency = IdempotencyService(self.store)
+        self.user_store = DurableUserStore()
+        self.ledger = Ledger()
+        self.credits = CreditsService(
+            store=self.store,
+            user_store=self.user_store,
+            ledger=self.ledger,
+            config=self.config.credits,
+        )
+        self.moderation = ModerationService()
+        self.engine = engine or RestorationEngine(serving_config=self.config.serving)
+        self.batcher = MicroBatcher(self.engine, self.config.serving) if use_batcher else None
+        self.classifier = ClassifierService()
+        self.prompt_enhancer = PromptEnhancerService()
+        self.restorator = RestoratorService(
+            engine=self.engine,
+            classifier=self.classifier,
+            prompt_enhancer=self.prompt_enhancer,
+            serving_config=self.config.serving,
+            batcher=self.batcher,
+        )
+        self.jobs = JobStore(
+            keep_completed=self.config.queue.keep_completed,
+            keep_failed=self.config.queue.keep_failed,
+        )
+        self.queue = JobQueue(
+            self.jobs,
+            handler=self._process_job,
+            config=self.config.queue,
+            workers=queue_workers,
+            on_exhausted=self._refund_job,
+        )
+        self.blobs = BlobStore(self.store)
+
+    # ------------------------------------------------------- job execution
+
+    def _process_job(self, job: Job) -> dict:
+        """Worker body (the restoration worker the reference spec'd but never
+        shipped, design.md:818-852): decode payload -> full restore pipeline."""
+        payload = job.payload
+        images_b64 = payload.get("imagesB64") or [payload["imageB64"]]
+        user_context = {"userId": job.user_id, "jobId": job.id}
+        options = payload.get("options") or {}
+        if len(images_b64) > 1:
+            return self.restorator.restore_fusion(
+                [base64.b64decode(b) for b in images_b64],
+                user_prompt=payload.get("prompt"),
+                user_context=user_context,
+                options=options,
+            )
+        return self.restorator.restore(
+            base64.b64decode(images_b64[0]),
+            user_prompt=payload.get("prompt"),
+            user_context=user_context,
+            options=options,
+        )
+
+    def _refund_job(self, job: Job) -> None:
+        """DLQ compensation: refund the credit charged at submit
+        (design.md:855-884)."""
+        try:
+            self.credits.refund(job.user_id, job.id, reason="Job failed after retries")
+        except Exception as error:  # pragma: no cover
+            self.logger.error("Refund hook failed", {"jobId": job.id, "error": str(error)})
+
+    def shutdown(self) -> None:
+        self.queue.shutdown()
+        if self.batcher is not None:
+            self.batcher.shutdown()

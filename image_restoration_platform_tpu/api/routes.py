@@ -1,0 +1,384 @@
+"""HTTP routes: health, jobs (submit/status/SSE), credits, uploads, admin.
+
+Endpoint surface = everything the reference implements plus everything it
+spec'd but left unshipped (SURVEY.md section 1 layer 8): job submission
+(202 + Location), job polling, SSE streaming, signed-upload analog, DLQ
+replay, admin analytics.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import json
+import os
+import time
+import uuid
+
+import numpy as np
+from aiohttp import web
+
+from .. import imageio
+from ..obs.metrics import get_counters, get_request_metrics
+from ..ops.resize import fit_inside, resize_u8
+from ..problem import (
+    forbidden,
+    image_missing,
+    insufficient_credits,
+    not_found,
+    preprocess_failed,
+    unsupported_extension,
+    unsupported_media_type,
+    content_rejected,
+)
+from ..serve.jobs import JobState
+from .context import AppContext
+
+MAX_IMAGES_PER_CALL = 3
+
+
+# ------------------------------------------------------------------ health
+
+async def health_live(request: web.Request) -> web.Response:
+    return web.json_response(
+        {"status": "ok", "service": "image-restoration-api", "timestamp": time.time()}
+    )
+
+
+async def health_ready(request: web.Request) -> web.Response:
+    """Per-dependency readiness with ok/degraded/unavailable semantics
+    (healthRouter.js:80-116)."""
+    ctx: AppContext = request.app["ctx"]
+    dependencies = {}
+
+    store_info = {"status": "ok", "mode": ctx.store.get_mode()}
+    if ctx.store.get_mode() == "memory":
+        store_info["status"] = "degraded"
+        store_info["reason"] = "using in-memory store (single-controller mode)"
+    dependencies["store"] = store_info
+
+    try:
+        import jax
+
+        devices = jax.devices()
+        dependencies["device"] = {
+            "status": "ok",
+            "platform": devices[0].platform,
+            "deviceCount": len(devices),
+        }
+    except Exception as error:  # pragma: no cover
+        dependencies["device"] = {"status": "unavailable", "error": str(error)}
+
+    dependencies["imageio"] = (
+        {"status": "ok", "backend": "native"}
+        if imageio.native_available()
+        else {"status": "degraded", "backend": "pillow", "reason": "native codec unavailable"}
+    )
+
+    any_failure = any(d["status"] == "unavailable" for d in dependencies.values())
+    any_degraded = any(d["status"] == "degraded" for d in dependencies.values())
+    metrics = get_request_metrics()
+    payload = {
+        "status": "unready" if any_failure else "degraded" if any_degraded else "ok",
+        "timestamp": time.time(),
+        "metrics": {
+            "requests": {
+                "count": metrics["count"],
+                "averageMs": metrics["averageMs"],
+                "p95Ms": metrics["p95Ms"],
+            },
+            "serving": get_counters().snapshot(),
+        },
+        "dependencies": dependencies,
+    }
+    return web.json_response(payload, status=503 if any_failure else 200)
+
+
+# -------------------------------------------------------------- validation
+
+def _validate_upload(filename: str, data: bytes, ctx: AppContext) -> str:
+    """Extension allowlist + magic sniff (uploadValidation.js:16-115)."""
+    ext = os.path.splitext(filename or "")[1].lower()
+    if ext not in ctx.config.upload.accepted_extensions:
+        raise unsupported_extension()
+    fmt = imageio.sniff_format(data)
+    if fmt is None or f"image/{fmt}" not in ctx.config.upload.accepted_mimes:
+        raise unsupported_media_type()
+    return fmt
+
+
+def _preprocess(data: bytes, ctx: AppContext) -> tuple[np.ndarray, bytes, list[str]]:
+    """EXIF auto-orient -> downscale longest side <= 2048 -> JPEG q85 4:4:4
+    sRGB re-encode, operations recorded (imagePreprocess.js:24-91)."""
+    operations = []
+    try:
+        decoded = imageio.decode_image(data)  # auto-orients
+        operations.append("auto_orient")
+        pixels = decoded.pixels
+        max_dim = ctx.config.upload.max_dimension
+        if max(pixels.shape[:2]) > max_dim:
+            w, h = fit_inside(pixels.shape[1], pixels.shape[0], max_dim)
+            pixels = np.asarray(resize_u8(pixels, (h, w)), dtype=np.uint8)
+            operations.append(f"resize_{w}x{h}")
+        jpeg = imageio.encode_jpeg(
+            pixels, quality=ctx.config.upload.jpeg_quality, chroma_444=True, attach_srgb_icc=True
+        )
+        operations.append(f"compress_jpeg_q{ctx.config.upload.jpeg_quality}")
+        operations.append("attach_sRGB_icc")
+        return pixels, jpeg, operations
+    except ValueError as error:
+        raise preprocess_failed(str(error))
+
+
+# ------------------------------------------------------------------- jobs
+
+async def submit_job(request: web.Request) -> web.Response:
+    ctx: AppContext = request.app["ctx"]
+    user = request["user"]
+
+    form = await request.post()
+    prompt = form.get("prompt") or None
+    options_raw = form.get("options")
+    try:
+        options = json.loads(options_raw) if options_raw else {}
+    except json.JSONDecodeError:
+        options = {}
+
+    # collect image payloads: direct multipart files and/or pre-uploaded blobs
+    raw_images: list[tuple[str, bytes]] = []
+    for key in ("image", "image2", "image3"):
+        field = form.get(key)
+        if field is not None and hasattr(field, "file"):
+            raw_images.append((field.filename or "upload.jpg", field.file.read()))
+    token = form.get("uploadToken")
+    if token:
+        blob = ctx.blobs.get(str(token))
+        if blob is not None:
+            raw_images.append((f"{token}.jpg", blob))
+    if not raw_images:
+        raise image_missing()
+    if len(raw_images) > MAX_IMAGES_PER_CALL:
+        raise preprocess_failed(f"At most {MAX_IMAGES_PER_CALL} images per call.")
+
+    preprocessed: list[bytes] = []
+    all_operations: list[list[str]] = []
+    for filename, data in raw_images:
+        if len(data) > ctx.config.upload.max_file_size_bytes:
+            from ..problem import file_too_large
+
+            raise file_too_large(ctx.config.upload.max_file_size_bytes // (1024 * 1024))
+        _validate_upload(filename, data, ctx)
+        _, jpeg, operations = await asyncio.to_thread(_preprocess, data, ctx)
+        preprocessed.append(jpeg)
+        all_operations.append(operations)
+
+    # moderation gate, fail-closed, 422 on rejection (moderateImage.js:3-55)
+    for jpeg in preprocessed:
+        moderation = await asyncio.to_thread(
+            ctx.moderation.moderate, jpeg, {"userId": user["id"], "requestId": request["requestId"]}
+        )
+        if not moderation["allowed"]:
+            raise content_rejected(
+                moderation["rejection"]["reason"],
+                moderation["rejection"]["categories"],
+                moderation["flags"],
+            )
+
+    # create the job first so the ledger entry carries its id, then bill
+    payload = {
+        "imageB64": base64.b64encode(preprocessed[0]).decode("ascii"),
+        "imagesB64": [base64.b64encode(j).decode("ascii") for j in preprocessed],
+        "prompt": prompt,
+        "options": options,
+        "preprocessOperations": all_operations,
+    }
+    job = ctx.jobs.create(
+        user["id"], payload, request_id=request["requestId"], traceparent=request["traceparent"]
+    )
+    decision = await asyncio.to_thread(
+        ctx.credits.check_and_deduct, user["id"], 1, job.id
+    )
+    if not decision["allowed"]:
+        ctx.jobs.transition(job.id, JobState.DEAD_LETTER, error={"message": "insufficient credits"})
+        raise insufficient_credits(decision.get("remainingCredits", 0))
+
+    sync = request.query.get("sync") in ("1", "true")
+    if sync:
+        ctx.jobs.transition(job.id, JobState.RUNNING, attempts=1)
+        result = await asyncio.to_thread(ctx._process_job, job)
+        if result.get("success"):
+            ctx.jobs.transition(job.id, JobState.SUCCEEDED, result=result, timings=result.get("timings", {}))
+        else:
+            ctx.jobs.transition(job.id, JobState.FAILED, error=result.get("error"))
+            await asyncio.to_thread(ctx.credits.refund, user["id"], job.id, 1, "Synchronous job failed")
+        body = ctx.jobs.get(job.id).to_public()
+        body["credits"] = decision
+        return web.json_response(body, status=200 if result.get("success") else 502)
+
+    ctx.queue.enqueue(job)
+    return web.json_response(
+        {
+            "id": job.id,
+            "status": job.state.value,
+            "createdAt": job.created_at,
+            "credits": decision,
+        },
+        status=202,
+        headers={"Location": f"/v1/jobs/{job.id}"},
+    )
+
+
+def _owned_job(request: web.Request):
+    ctx: AppContext = request.app["ctx"]
+    job = ctx.jobs.get(request.match_info["job_id"])
+    if job is None:
+        raise not_found("Job not found.")
+    if job.user_id != request["user"]["id"]:
+        raise forbidden("This job belongs to another user.")
+    return ctx, job
+
+
+async def get_job(request: web.Request) -> web.Response:
+    _, job = _owned_job(request)
+    include_result = request.query.get("includeResult", "1") not in ("0", "false")
+    return web.json_response(job.to_public(include_result=include_result))
+
+
+async def list_jobs(request: web.Request) -> web.Response:
+    ctx: AppContext = request.app["ctx"]
+    jobs = ctx.jobs.list_for_user(request["user"]["id"])
+    return web.json_response({"jobs": [j.to_public(include_result=False) for j in jobs]})
+
+
+async def stream_job(request: web.Request) -> web.StreamResponse:
+    """SSE job status stream (design.md:1913-1931)."""
+    ctx, job = _owned_job(request)
+    response = web.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-store",
+            "Connection": "keep-alive",
+        },
+    )
+    await response.prepare(request)
+
+    version = -1
+    deadline = time.time() + ctx.config.serving.request_deadline_s
+    while time.time() < deadline:
+        job = await asyncio.to_thread(ctx.jobs.wait_for_change, job.id, version, 5.0)
+        if job is None:
+            break
+        if job.version > version:
+            version = job.version
+            doc = job.to_public(include_result=job.state is JobState.SUCCEEDED)
+            await response.write(
+                f"event: status\ndata: {json.dumps(doc)}\n\n".encode()
+            )
+            if job.state in (JobState.SUCCEEDED, JobState.FAILED, JobState.DEAD_LETTER):
+                break
+        else:
+            await response.write(b": keepalive\n\n")
+    await response.write_eof()
+    return response
+
+
+# ---------------------------------------------------------------- credits
+
+async def credits_balance(request: web.Request) -> web.Response:
+    ctx: AppContext = request.app["ctx"]
+    balance = await asyncio.to_thread(ctx.credits.get_balance, request["user"]["id"])
+    return web.json_response(balance)
+
+
+# ---------------------------------------------------------------- uploads
+
+async def signed_url(request: web.Request) -> web.Response:
+    """Direct-upload analog of GCS V4 signed URLs (gcsClient.js:44-67):
+    returns a 15-minute single-use upload slot."""
+    ctx: AppContext = request.app["ctx"]
+    token = uuid.uuid4().hex
+    return web.json_response(
+        {
+            "uploadUrl": f"/v1/uploads/{token}",
+            "method": "PUT",
+            "token": token,
+            "expiresInSeconds": ctx.blobs.ttl_seconds,
+            "objectPath": f"originals/{request['user']['id']}/{token}",
+        }
+    )
+
+
+async def put_upload(request: web.Request) -> web.Response:
+    ctx: AppContext = request.app["ctx"]
+    data = await request.read()
+    if len(data) > ctx.config.upload.max_file_size_bytes:
+        from ..problem import file_too_large
+
+        raise file_too_large(ctx.config.upload.max_file_size_bytes // (1024 * 1024))
+    if imageio.sniff_format(data) is None:
+        raise unsupported_media_type()
+    ctx.blobs.put(request.match_info["token"], data)
+    return web.json_response({"status": "stored", "token": request.match_info["token"]})
+
+
+# ------------------------------------------------------------------ admin
+
+async def admin_analytics(request: web.Request) -> web.Response:
+    """Aggregated credits/cost/failure analytics
+    (image-restoration-platform.md:1419-1484 spec)."""
+    ctx: AppContext = request.app["ctx"]
+    ledger = ctx.ledger.entries()
+    moderation = ctx.moderation.audit.entries()
+    counters = get_counters().snapshot()
+    metrics = get_request_metrics()
+    dead = ctx.jobs.dead_letter_jobs()
+    return web.json_response(
+        {
+            "credits": {
+                "totalConsumed": -sum(e["amount"] for e in ledger if e["amount"] < 0),
+                "totalRefunded": sum(e["amount"] for e in ledger if e["type"] == "refund"),
+                "ledgerEntries": len(ledger),
+            },
+            "moderation": {
+                "total": len(moderation),
+                "rejected": sum(1 for m in moderation if not m["allowed"]),
+            },
+            "serving": counters,
+            "requests": metrics,
+            "queue": {"depth": ctx.queue.depth(), "deadLetter": len(dead)},
+            "tpu": {"deviceSecondsTotal": ctx.engine.device_seconds_total},
+        }
+    )
+
+
+async def admin_replay(request: web.Request) -> web.Response:
+    ctx: AppContext = request.app["ctx"]
+    try:
+        job = ctx.queue.replay_dead_letter(request.match_info["job_id"])
+    except ValueError as error:
+        raise not_found(str(error))
+    return web.json_response({"id": job.id, "status": job.state.value})
+
+
+async def admin_grant(request: web.Request) -> web.Response:
+    ctx: AppContext = request.app["ctx"]
+    body = await request.json()
+    balance = ctx.user_store.grant(body["userId"], int(body["amount"]))
+    ctx.store.delete(f"credits:{body['userId']}")  # invalidate cache
+    return web.json_response({"userId": body["userId"], "credits": balance})
+
+
+def setup_routes(app: web.Application) -> None:
+    app.router.add_get("/health/live", health_live)
+    app.router.add_get("/health/ready", health_ready)
+    app.router.add_post("/v1/jobs", submit_job)
+    app.router.add_get("/v1/jobs", list_jobs)
+    app.router.add_get("/v1/jobs/{job_id}", get_job)
+    app.router.add_get("/v1/jobs/{job_id}/stream", stream_job)
+    app.router.add_get("/v1/credits/balance", credits_balance)
+    app.router.add_get("/v1/uploads/signed-url", signed_url)
+    app.router.add_put("/v1/uploads/{token}", put_upload)
+    app.router.add_get("/v1/admin/analytics", admin_analytics)
+    app.router.add_post("/v1/admin/jobs/{job_id}/replay", admin_replay)
+    app.router.add_post("/v1/admin/credits/grant", admin_grant)

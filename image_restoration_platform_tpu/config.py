@@ -109,7 +109,13 @@ class ServingConfig:
     max_wait_ms: float = field(default_factory=lambda: _env_float("SERVE_MAX_WAIT_MS", 5.0))
     # canonical device-side resolutions; requests are bucketed to these so every
     # batch hits a cached XLA executable (SURVEY.md "hard parts")
-    size_buckets: tuple[int, ...] = (256, 512, 1024)
+    size_buckets: tuple[int, ...] = field(
+        default_factory=lambda: tuple(
+            int(s)
+            for s in os.environ.get("SERVE_SIZE_BUCKETS", "256,512,1024").split(",")
+            if s
+        )
+    )
     batch_concurrency: int = field(
         default_factory=lambda: max(1, _env_int("RESTORATION_BATCH_CONCURRENCY", 3))
     )

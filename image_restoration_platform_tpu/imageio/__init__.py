@@ -98,6 +98,11 @@ def _load_native():
             ]
             lib.irp_free.restype = None
             lib.irp_free.argtypes = [ctypes.c_void_p]
+            lib.irp_resize_rgb8.restype = ctypes.c_int
+            lib.irp_resize_rgb8.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ]
             _lib = lib
         except OSError as error:  # pragma: no cover
             _log.warn_once("load", "native imageio load failed; using Pillow fallback", {"error": str(error)})
@@ -197,6 +202,35 @@ def _decode_pillow(data: bytes, auto_orient: bool) -> DecodedImage:  # pragma: n
             im = ImageOps.exif_transpose(im)
         arr = np.asarray(im.convert("RGB"), dtype=np.uint8)
     return DecodedImage(arr, fmt, arr.shape[1], arr.shape[0], orientation)
+
+
+def resize_rgb8(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Host-side Lanczos3 resize of an [H, W, 3] uint8 array (C++ stage).
+
+    Used for arbitrary-shape work at the serving edge (preprocess downscale,
+    final upscale to the caller's native size); all device-side resizes use
+    the fixed-shape MXU matmul path in ops/resize.py.
+    """
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    out_h, out_w = out_hw
+    if (h, w) == (out_h, out_w):
+        return img
+    lib = _load_native()
+    if lib is not None:
+        out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+        rc = lib.irp_resize_rgb8(
+            img.ctypes.data_as(ctypes.c_void_p), w, h,
+            out.ctypes.data_as(ctypes.c_void_p), out_w, out_h,
+        )
+        if rc != 0:
+            raise ValueError(f"resize failed (code {rc})")
+        return out
+    from PIL import Image  # pragma: no cover
+
+    return np.asarray(
+        Image.fromarray(img).resize((out_w, out_h), Image.LANCZOS), dtype=np.uint8
+    )
 
 
 def encode_jpeg(

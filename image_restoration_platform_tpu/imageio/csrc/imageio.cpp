@@ -316,6 +316,116 @@ static size_t build_srgb_icc(uint8_t** out_buf) {
   return total;
 }
 
+// ----------------------------------------------------------------- resize
+
+// Separable Lanczos3 resample of interleaved RGB8 (the host-side stage the
+// reference delegates to libvips, imagePreprocess.js:48-53). Weights are
+// precomputed per output coordinate; accumulation in f32. Device-side resizes
+// (bucket->bucket, SR) use the MXU matmul formulation in ops/resize.py; this
+// host path exists for arbitrary user shapes, where per-shape XLA compiles
+// would dominate latency.
+static double lanczos3(double x) {
+  if (x < 0) x = -x;
+  if (x < 1e-9) return 1.0;
+  if (x >= 3.0) return 0.0;
+  double px = 3.14159265358979323846 * x;
+  return 3.0 * __builtin_sin(px) * __builtin_sin(px / 3.0) / (px * px);
+}
+
+struct ResizeTaps {
+  int* start;     // [out] first source index
+  float* weights; // [out * taps]
+  int taps;
+};
+
+static bool build_taps(int in_size, int out_size, ResizeTaps* rt) {
+  double scale = (double)in_size / out_size;
+  double fscale = scale > 1.0 ? scale : 1.0;
+  double support = 3.0 * fscale;
+  int taps = (int)(2.0 * support + 2.0);
+  rt->taps = taps;
+  rt->start = (int*)malloc(sizeof(int) * out_size);
+  rt->weights = (float*)malloc(sizeof(float) * (size_t)out_size * taps);
+  if (!rt->start || !rt->weights) return false;
+  for (int o = 0; o < out_size; o++) {
+    double center = (o + 0.5) * scale - 0.5;
+    int first = (int)__builtin_floor(center - support);
+    if (first < 0) first = 0;
+    rt->start[o] = first;
+    double sum = 0.0;
+    for (int t = 0; t < taps; t++) {
+      int i = first + t;
+      double w = 0.0;
+      if (i < in_size) {
+        w = lanczos3((center - i) / fscale);
+      }
+      rt->weights[(size_t)o * taps + t] = (float)w;
+      sum += w;
+    }
+    if (sum != 0.0) {
+      for (int t = 0; t < taps; t++) rt->weights[(size_t)o * taps + t] /= (float)sum;
+    }
+  }
+  return true;
+}
+
+int irp_resize_rgb8(const uint8_t* src, int in_w, int in_h, uint8_t* dst, int out_w,
+                    int out_h) {
+  if (in_w <= 0 || in_h <= 0 || out_w <= 0 || out_h <= 0) return IRP_ERR_BOUNDS;
+  ResizeTaps tx{nullptr, nullptr, 0}, ty{nullptr, nullptr, 0};
+  float* tmp = nullptr;  // [in_h, out_w, 3] f32 after horizontal pass
+  int rc = IRP_OK;
+  if (!build_taps(in_w, out_w, &tx) || !build_taps(in_h, out_h, &ty)) {
+    rc = IRP_ERR_ALLOC;
+    goto done;
+  }
+  tmp = (float*)malloc(sizeof(float) * (size_t)in_h * out_w * 3);
+  if (!tmp) { rc = IRP_ERR_ALLOC; goto done; }
+
+  for (int y = 0; y < in_h; y++) {
+    const uint8_t* row = src + (size_t)y * in_w * 3;
+    float* trow = tmp + (size_t)y * out_w * 3;
+    for (int o = 0; o < out_w; o++) {
+      float r = 0, g = 0, b = 0;
+      int first = tx.start[o];
+      const float* w = tx.weights + (size_t)o * tx.taps;
+      for (int t = 0; t < tx.taps; t++) {
+        int i = first + t;
+        if (i >= in_w) break;
+        const uint8_t* p = row + (size_t)i * 3;
+        r += w[t] * p[0];
+        g += w[t] * p[1];
+        b += w[t] * p[2];
+      }
+      trow[o * 3 + 0] = r;
+      trow[o * 3 + 1] = g;
+      trow[o * 3 + 2] = b;
+    }
+  }
+  for (int o = 0; o < out_h; o++) {
+    uint8_t* drow = dst + (size_t)o * out_w * 3;
+    int first = ty.start[o];
+    const float* w = ty.weights + (size_t)o * ty.taps;
+    for (int x = 0; x < out_w * 3; x++) {
+      float acc = 0;
+      for (int t = 0; t < ty.taps; t++) {
+        int i = first + t;
+        if (i >= in_h) break;
+        acc += w[t] * tmp[(size_t)i * out_w * 3 + x];
+      }
+      int v = (int)(acc + 0.5f);
+      drow[x] = (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v);
+    }
+  }
+done:
+  free(tx.start);
+  free(tx.weights);
+  free(ty.start);
+  free(ty.weights);
+  free(tmp);
+  return rc;
+}
+
 // --------------------------------------------------------------- encoding
 
 void irp_free(uint8_t* p) { free(p); }

@@ -43,6 +43,11 @@ class UNetConfig:
     attn_heads: int = 4
     norm_groups: int = 32
     time_conditioned: bool = False  # True for the diffusion variant
+    # skip bottleneck self-attention above this token count: naive attention
+    # materialises [N, heads, T, T] logits, which at a 1024px bucket
+    # (T = 128*128 = 16k tokens) is ~4 GB — past HBM budget. 4096 tokens
+    # (<=64x64 bottleneck, i.e. <=512px inputs at /8) stays ~256 MB.
+    max_attn_tokens: int = 4096
 
 
 def _res_block_init(key, in_ch, out_ch, emb_dim):
@@ -165,7 +170,8 @@ def apply(
 
     mid = params["mid"]
     h = _res_block(mid["block1"], h, emb, c.norm_groups)
-    h = nn.attention(mid["attn"], h, c.attn_heads)
+    if h.shape[1] * h.shape[2] <= c.max_attn_tokens:  # static at trace time
+        h = nn.attention(mid["attn"], h, c.attn_heads)
     h = _res_block(mid["block2"], h, emb, c.norm_groups)
 
     for i, level_p in enumerate(params["dec"]):

@@ -164,11 +164,21 @@ def get_tracer(component: str) -> Tracer:
 
 @contextmanager
 def device_trace(name: str) -> Iterator[None]:
-    """jax.profiler annotation around a device step (no-op if unavailable)."""
+    """jax.profiler annotation around a device step (no-op if unavailable).
+
+    The annotation setup is isolated from the body: an exception raised by the
+    wrapped code must propagate untouched (a catch-all around ``yield`` breaks
+    contextlib's throw() protocol and masks the real error).
+    """
+    annotation = None
     try:
         import jax
 
-        with jax.profiler.TraceAnnotation(name):
-            yield
+        annotation = jax.profiler.TraceAnnotation(name)
     except Exception:  # pragma: no cover - profiler optional
+        annotation = None
+    if annotation is None:
         yield
+    else:
+        with annotation:
+            yield

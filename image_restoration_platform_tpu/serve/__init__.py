@@ -1,0 +1,30 @@
+from .store import MemoryStore, create_store
+from .ratelimit import RateLimiter
+from .idempotency import IdempotencyService, payload_hash
+from .credits import CreditsService, DurableUserStore, Ledger
+from .moderation import ModerationService, ModerationAuditLog
+from .engine import RestorationEngine
+from .restorator import RestoratorService
+from .batcher import MicroBatcher
+from .jobs import Job, JobState, JobStore
+from .queue import JobQueue
+
+__all__ = [
+    "MemoryStore",
+    "create_store",
+    "RateLimiter",
+    "IdempotencyService",
+    "payload_hash",
+    "CreditsService",
+    "DurableUserStore",
+    "Ledger",
+    "ModerationService",
+    "ModerationAuditLog",
+    "RestorationEngine",
+    "RestoratorService",
+    "MicroBatcher",
+    "Job",
+    "JobState",
+    "JobStore",
+    "JobQueue",
+]

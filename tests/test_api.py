@@ -1,0 +1,301 @@
+"""End-to-end HTTP API tests: the full middleware chain + job lifecycle over
+a live aiohttp server (contracts from reference server.js / middleware suite)."""
+
+import asyncio
+import base64
+import json
+import uuid
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+import fixtures
+from image_restoration_platform_tpu.api import AppContext, create_app
+from image_restoration_platform_tpu.config import Config, ServingConfig
+
+AUTH = {"Authorization": "Bearer dev-user-alice"}
+
+
+def _config() -> Config:
+    cfg = Config()
+    cfg.serving = ServingConfig(size_buckets=(64,), max_batch=4, max_wait_ms=2.0)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    context = AppContext(config=_config(), use_batcher=False, queue_workers=1)
+    context.user_store.grant("alice", 1000)  # tests outnumber the daily free tier
+    yield context
+    context.shutdown()
+
+
+def run(ctx, coro_fn):
+    async def runner():
+        app = create_app(ctx=ctx, config=ctx.config)
+        app.on_shutdown.clear()  # module-scoped ctx outlives each test server
+        async with TestClient(TestServer(app)) as client:
+            return await coro_fn(client)
+
+    return asyncio.run(runner())
+
+
+def form_for(image_bytes, prompt=None, filename="photo.jpg"):
+    from aiohttp import FormData
+
+    form = FormData()
+    form.add_field("image", image_bytes, filename=filename, content_type="image/jpeg")
+    if prompt:
+        form.add_field("prompt", prompt)
+    form.add_field("options", json.dumps({"model": "restore-unet-small"}))
+    return form
+
+
+def idem():
+    return {"Idempotency-Key": str(uuid.uuid4())}
+
+
+class TestHealth:
+    def test_live(self, ctx):
+        async def check(client):
+            resp = await client.get("/health/live")
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["status"] == "ok"
+            assert "X-Request-Id" in resp.headers
+
+        run(ctx, check)
+
+    def test_ready_reports_dependencies(self, ctx):
+        async def check(client):
+            resp = await client.get("/health/ready")
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["status"] in ("ok", "degraded")
+            assert "store" in body["dependencies"]
+            assert "device" in body["dependencies"]
+            assert "p95Ms" in body["metrics"]["requests"]
+
+        run(ctx, check)
+
+
+class TestAuth:
+    def test_v1_requires_bearer(self, ctx):
+        async def check(client):
+            resp = await client.get("/v1/credits/balance")
+            assert resp.status == 401
+            assert resp.content_type == "application/problem+json"
+            body = await resp.json()
+            assert body["status"] == 401
+
+        run(ctx, check)
+
+    def test_mock_token_accepted(self, ctx):
+        async def check(client):
+            resp = await client.get("/v1/credits/balance", headers=AUTH)
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["dailyFreeLimit"] == 3
+
+        run(ctx, check)
+
+
+class TestRequestContext:
+    def test_request_id_echo_and_traceparent(self, ctx):
+        async def check(client):
+            headers = {
+                "X-Request-Id": "my-req-1",
+                "traceparent": "00-0af7651916cd43dd8448eb211c80319c-b7ad6b7169203331-01",
+            }
+            resp = await client.get("/health/live", headers=headers)
+            assert resp.headers["X-Request-Id"] == "my-req-1"
+            assert resp.headers["traceparent"] == headers["traceparent"]
+
+        run(ctx, check)
+
+
+class TestJobSubmission:
+    def test_missing_idempotency_key(self, ctx):
+        async def check(client):
+            resp = await client.post(
+                "/v1/jobs", data=form_for(fixtures.create_clean_image((32, 32))), headers=AUTH
+            )
+            assert resp.status == 400
+            body = await resp.json()
+            assert body["title"] == "Idempotency Key Required"
+
+        run(ctx, check)
+
+    def test_invalid_extension_415(self, ctx):
+        async def check(client):
+            resp = await client.post(
+                "/v1/jobs",
+                data=form_for(fixtures.create_clean_image((32, 32)), filename="x.gif"),
+                headers={**AUTH, **idem()},
+            )
+            assert resp.status == 415
+
+        run(ctx, check)
+
+    def test_magic_byte_mismatch_415(self, ctx):
+        async def check(client):
+            resp = await client.post(
+                "/v1/jobs",
+                data=form_for(b"GIF89a fake image data", filename="x.jpg"),
+                headers={**AUTH, **idem()},
+            )
+            assert resp.status == 415
+            body = await resp.json()
+            assert body["title"] == "Unsupported Media Type"
+
+        run(ctx, check)
+
+    def test_sync_restore_end_to_end(self, ctx):
+        async def check(client):
+            image = fixtures.create_dark_image((48, 40))
+            resp = await client.post(
+                "/v1/jobs?sync=1",
+                data=form_for(image, prompt="fix my photo"),
+                headers={**AUTH, **idem()},
+            )
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["status"] == "succeeded"
+            result = body["result"]
+            assert result["success"] is True
+            assert "fix my photo" in result["enhancedPrompt"]
+            for key in ("classify_ms", "prompt_ms", "restore_ms", "total_ms"):
+                assert key in result["timings"]
+            assert base64.b64decode(result["restoredImage"])[:3] == b"\xff\xd8\xff"
+            assert body["credits"]["type"] in ("free", "paid")
+
+        run(ctx, check)
+
+    def test_async_job_lifecycle_with_polling(self, ctx):
+        async def check(client):
+            image = fixtures.create_clean_image((32, 32))
+            resp = await client.post(
+                "/v1/jobs", data=form_for(image), headers={**AUTH, **idem()}
+            )
+            assert resp.status == 202
+            job_id = (await resp.json())["id"]
+            assert resp.headers["Location"] == f"/v1/jobs/{job_id}"
+
+            for _ in range(100):
+                status = await (await client.get(f"/v1/jobs/{job_id}", headers=AUTH)).json()
+                if status["status"] in ("succeeded", "failed", "dead_letter"):
+                    break
+                await asyncio.sleep(0.2)
+            assert status["status"] == "succeeded"
+            assert status["result"]["success"] is True
+
+        run(ctx, check)
+
+    def test_job_ownership_enforced(self, ctx):
+        async def check(client):
+            image = fixtures.create_clean_image((32, 32))
+            resp = await client.post(
+                "/v1/jobs", data=form_for(image), headers={**AUTH, **idem()}
+            )
+            job_id = (await resp.json())["id"]
+            resp = await client.get(
+                f"/v1/jobs/{job_id}", headers={"Authorization": "Bearer dev-user-mallory"}
+            )
+            assert resp.status == 403
+
+        run(ctx, check)
+
+    def test_idempotent_replay(self, ctx):
+        async def check(client):
+            image = fixtures.create_clean_image((32, 32))
+            key = idem()
+            r1 = await client.post("/v1/jobs", data=form_for(image), headers={**AUTH, **key})
+            body1 = await r1.json()
+            # same key + same payload -> replayed response, same job id
+            r2 = await client.post("/v1/jobs", data=form_for(image), headers={**AUTH, **key})
+            body2 = await r2.json()
+            assert r2.headers.get("Idempotency-Replayed") == "true"
+            assert body2["id"] == body1["id"]
+
+        run(ctx, check)
+
+    def test_rate_limit_headers_present(self, ctx):
+        async def check(client):
+            resp = await client.get("/v1/credits/balance", headers=AUTH)
+            assert "RateLimit-Limit" in resp.headers
+            assert "RateLimit-Remaining" in resp.headers
+
+        run(ctx, check)
+
+
+class TestUploadsFlow:
+    def test_signed_url_then_submit(self, ctx):
+        async def check(client):
+            resp = await client.get("/v1/uploads/signed-url", headers=AUTH)
+            slot = await resp.json()
+            assert slot["uploadUrl"].startswith("/v1/uploads/")
+
+            image = fixtures.create_clean_image((32, 32))
+            resp = await client.put(slot["uploadUrl"], data=image, headers=AUTH)
+            assert resp.status == 200
+
+            from aiohttp import FormData
+
+            form = FormData()
+            form.add_field("uploadToken", slot["token"])
+            form.add_field("options", json.dumps({"model": "restore-unet-small"}))
+            resp = await client.post(
+                "/v1/jobs?sync=1", data=form, headers={**AUTH, **idem()}
+            )
+            assert resp.status == 200
+
+        run(ctx, check)
+
+
+class TestSSE:
+    def test_stream_emits_terminal_event(self, ctx):
+        async def check(client):
+            image = fixtures.create_clean_image((32, 32))
+            resp = await client.post(
+                "/v1/jobs", data=form_for(image), headers={**AUTH, **idem()}
+            )
+            job_id = (await resp.json())["id"]
+
+            async with client.get(f"/v1/jobs/{job_id}/stream", headers=AUTH) as stream:
+                assert stream.content_type == "text/event-stream"
+                terminal = None
+                async for line in stream.content:
+                    text = line.decode().strip()
+                    if text.startswith("data:"):
+                        doc = json.loads(text[5:])
+                        if doc["status"] in ("succeeded", "failed", "dead_letter"):
+                            terminal = doc
+                            break
+                assert terminal is not None and terminal["status"] == "succeeded"
+
+        run(ctx, check)
+
+
+class TestAdmin:
+    def test_analytics(self, ctx):
+        async def check(client):
+            resp = await client.get("/v1/admin/analytics", headers=AUTH)
+            assert resp.status == 200
+            body = await resp.json()
+            assert "credits" in body and "serving" in body and "queue" in body
+            assert body["tpu"]["deviceSecondsTotal"] >= 0
+
+        run(ctx, check)
+
+    def test_grant_credits(self, ctx):
+        async def check(client):
+            resp = await client.post(
+                "/v1/admin/credits/grant",
+                json={"userId": "alice", "amount": 5},
+                headers={**AUTH, **idem()},
+            )
+            assert resp.status == 200
+            balance = await (await client.get("/v1/credits/balance", headers=AUTH)).json()
+            assert balance["paidCredits"] >= 5
+
+        run(ctx, check)

@@ -1,0 +1,100 @@
+"""Super-resolution (direct + tiled) and multi-image fusion paths."""
+
+import base64
+
+import numpy as np
+import pytest
+
+import fixtures
+from image_restoration_platform_tpu import imageio
+from image_restoration_platform_tpu.config import ServingConfig
+from image_restoration_platform_tpu.serve import RestorationEngine, RestoratorService
+
+
+@pytest.fixture(scope="module")
+def service():
+    cfg = ServingConfig(size_buckets=(64,), max_batch=4)
+    engine = RestorationEngine(serving_config=cfg)
+    svc = RestoratorService(engine=engine, serving_config=cfg)
+    svc.SR_TILE_THRESHOLD = 64  # exercise the tiled path at test sizes
+    return svc
+
+
+class TestSR:
+    def test_direct_sr_x2(self, service):
+        service.SR_TILE_THRESHOLD = 512
+        try:
+            img = fixtures.create_clean_image((48, 40))
+            result = service.restore(img, options={"model": "sr-x2"})
+            assert result["success"] is True
+            restored = imageio.decode_image(base64.b64decode(result["restoredImage"]))
+            assert (restored.height, restored.width) == (96, 80)
+            assert result["metadata"]["scaleFactor"] == 2
+        finally:
+            service.SR_TILE_THRESHOLD = 64
+
+    def test_tiled_sr_x2(self, service):
+        # bucket 64 > threshold 64? threshold is 64 -> tiled path for bucket >64;
+        # use a 2-bucket canvas via the sr 2048 allowance: keep it small by
+        # calling engine.sr_tiled directly on a 64 canvas with 32px tiles
+        canvas = imageio.decode_image(fixtures.create_clean_image((64, 64))).pixels
+        out, meta = service.engine.sr_tiled(canvas, "sr-x2", tile=32, overlap=8, tile_batch=4)
+        assert out.shape == (128, 128, 3)
+        assert meta["deviceSeconds"] > 0
+
+    def test_tiled_matches_direct_for_zero_init(self, service):
+        """Zero-init SRNet == nearest upsample, so tiled and direct agree
+        (the overlap-blend must not introduce seams)."""
+        canvas = imageio.decode_image(fixtures.create_color_shifted_image((64, 64))).pixels
+        tiled, _ = service.engine.sr_tiled(canvas, "sr-x2", tile=32, overlap=16, tile_batch=4)
+        direct, _ = service.engine.sr_batch(canvas[None], "sr-x2")
+        np.testing.assert_allclose(
+            tiled.astype(int), direct[0].astype(int), atol=1
+        )
+
+
+class TestFusion:
+    def test_three_image_fusion(self, service):
+        images = [
+            fixtures.create_dark_image((48, 40)),
+            fixtures.create_noisy_image((48, 40)),
+            fixtures.create_clean_image((48, 40)),
+        ]
+        result = service.restore_fusion(
+            images, user_prompt="fuse these", options={"model": "restore-unet-small"}
+        )
+        assert result["success"] is True
+        assert result["metadata"]["fusionInputs"] == 3
+        assert len(result["metadata"]["perImageAnalysis"]) == 3
+        # per-image analyses must differ (dark vs noisy vs clean)
+        lows = [p["lowLight"] for p in result["metadata"]["perImageAnalysis"]]
+        assert max(lows) > 0.3 and min(lows) < 0.1
+        restored = imageio.decode_image(base64.b64decode(result["restoredImage"]))
+        assert (restored.height, restored.width) == (48, 40)
+        assert "fuse these" in result["enhancedPrompt"]
+
+    def test_fusion_weights_favor_clean_input(self, service):
+        """With identity restoration (zero-init), the fused output should sit
+        closer to the clean input than to the dark one."""
+        dark = imageio.decode_image(fixtures.create_dark_image((32, 32))).pixels
+        clean = imageio.decode_image(fixtures.create_clean_image((32, 32))).pixels
+        fused, scores, _ = service.engine.fuse_batch(
+            np.stack([dark, clean]),
+            np.asarray([[32, 32], [32, 32]], np.int32),
+            np.asarray([1.0, 1.0], np.float32),
+            "restore-unet-small",
+        )
+        d_dark = np.abs(fused.astype(int) - dark.astype(int)).mean()
+        d_clean = np.abs(fused.astype(int) - clean.astype(int)).mean()
+        assert d_clean < d_dark
+
+    def test_fusion_rejects_too_many(self, service):
+        result = service.restore_fusion([fixtures.create_clean_image((32, 32))] * 4)
+        assert result["success"] is False
+
+    def test_single_image_fusion_degenerates(self, service):
+        result = service.restore_fusion(
+            [fixtures.create_clean_image((32, 32))], options={"model": "restore-unet-small"}
+        )
+        assert result["success"] is True
+        assert result["metadata"]["fusionInputs"] == 1
