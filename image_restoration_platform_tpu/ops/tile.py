@@ -112,6 +112,7 @@ def tiled_apply(
     overlap: int,
     scale: int = 1,
     tile_batch: int | None = None,
+    use_pallas_blend: bool | None = None,
 ) -> jax.Array:
     """Run ``fn`` ([N,T,T,C] -> [N,T*scale,T*scale,C']) over overlapping tiles
     of [H, W, C] and blend the results seam-free.
@@ -131,4 +132,15 @@ def tiled_apply(
         for i in range(0, padded.shape[0], tile_batch):
             chunks.append(fn(padded[i : i + tile_batch]))
         out_tiles = jnp.concatenate(chunks, axis=0)[:n]
+
+    if use_pallas_blend is None:
+        import os
+
+        use_pallas_blend = os.environ.get("IRP_PALLAS_BLEND", "0") == "1"
+    if use_pallas_blend and scale >= 1:
+        from .pallas.blend import blend_tiles_pallas
+
+        out_ys = tuple(y * scale for y in ys)
+        out_xs = tuple(x * scale for x in xs)
+        return blend_tiles_pallas(out_tiles, (h * scale, w * scale), out_ys, out_xs)
     return blend_tiles(out_tiles, (h, w), ys, xs, scale=scale)
