@@ -51,11 +51,24 @@ async def request_context_middleware(request: web.Request, handler):
 
 @web.middleware
 async def timing_middleware(request: web.Request, handler):
+    """Wall-clock per request -> sampler + spec'd counters
+    (http_requests_total / http_request_duration_ms, design.md:1583-1630)."""
+    from ..obs.metrics import get_counters
+
     start = time.perf_counter()
+    status = 500
     try:
-        return await handler(request)
+        response = await handler(request)
+        status = response.status
+        return response
     finally:
-        record_request_duration((time.perf_counter() - start) * 1000.0)
+        duration_ms = (time.perf_counter() - start) * 1000.0
+        record_request_duration(duration_ms)
+        counters = get_counters()
+        counters.inc("http_requests_total")
+        if status >= 500:
+            counters.inc("http_requests_errors_total")
+        counters.gauge("http_request_duration_ms", round(duration_ms, 3))
 
 
 @web.middleware

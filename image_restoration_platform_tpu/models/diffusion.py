@@ -84,7 +84,7 @@ def restore(
         x0_pred = (xt - jnp.sqrt(1.0 - ab_now) * eps) / jnp.sqrt(ab_now)
         x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
         xt_next = jnp.sqrt(ab_next) * x0_pred + jnp.sqrt(1.0 - ab_next) * eps
-        return xt_next, None
+        return xt_next.astype(xt.dtype), None  # keep the scan carry dtype stable
 
     xt, _ = jax.lax.scan(step, xt, jnp.arange(c.sample_steps))
     return jnp.clip((xt + 1.0) * 0.5, 0.0, 1.0)

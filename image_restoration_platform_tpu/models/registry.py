@@ -72,11 +72,24 @@ class ParamCache:
             if family_name not in self._params:
                 family = get_family(family_name)
                 key = jax.random.PRNGKey(self._seed ^ hash(family_name) & 0x7FFFFFFF)
-                cfg = family.config
-                if hasattr(cfg, "unet"):
-                    self._params[family_name] = family.init(key, cfg)
-                else:
-                    self._params[family_name] = family.init(key, cfg)
+                params = family.init(key, family.config)
+                # load trained weights when a checkpoint exists for the family
+                from . import weights as weights_mod
+
+                path = weights_mod.weights_path(family_name)
+                import os
+
+                if os.path.exists(path):
+                    try:
+                        params = weights_mod.load_params(params, path)
+                    except Exception as error:
+                        import logging
+
+                        logging.getLogger("irp.registry").warning(
+                            "failed to load weights for %s from %s: %s",
+                            family_name, path, error,
+                        )
+                self._params[family_name] = params
             return self._params[family_name]
 
     def put(self, family_name: str, params: dict) -> None:

@@ -192,6 +192,11 @@ class RestoratorService:
                     {"type": k, "confidence": v} for k, v in degradation.items() if v > 0.3
                 ]
                 device_s = engine_meta.get("deviceSeconds", 0.0)
+                from ..obs.metrics import get_counters
+
+                counters = get_counters()
+                counters.inc("restorations_total")
+                counters.inc("tpu_cost_usd", device_s * DEVICE_COST_PER_SECOND_USD)
                 result = {
                     "success": True,
                     "restoredImage": base64.b64encode(

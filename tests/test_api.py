@@ -228,6 +228,54 @@ class TestJobSubmission:
         run(ctx, check)
 
 
+class TestBillingAndLimits:
+    def test_insufficient_credits_402(self, ctx):
+        async def check(client):
+            # a fresh user with exhausted free tier and no paid credits
+            auth = {"Authorization": "Bearer dev-user-broke"}
+            image = fixtures.create_clean_image((32, 32))
+            for _ in range(3):
+                r = await client.post("/v1/jobs", data=form_for(image), headers={**auth, **idem()})
+                assert r.status == 202
+            r = await client.post("/v1/jobs", data=form_for(image), headers={**auth, **idem()})
+            assert r.status == 402
+            body = await r.json()
+            assert body["title"] == "Insufficient Credits"
+            assert body["remainingCredits"] == 0
+
+        run(ctx, check)
+
+    def test_oversized_upload_413(self, ctx):
+        async def check(client):
+            big = b"\xff\xd8\xff" + b"\x00" * (11 * 1024 * 1024)
+            resp = await client.post(
+                "/v1/jobs", data=form_for(big), headers={**AUTH, **idem()}
+            )
+            assert resp.status == 413
+            body = await resp.json()
+            assert body["title"] == "File Too Large"
+            assert "Retry-After" in resp.headers
+
+        run(ctx, check)
+
+    def test_sync_failure_refunds_credit(self, ctx):
+        async def check(client):
+            auth = {"Authorization": "Bearer dev-user-refundee"}
+            balance_before = (await (await client.get("/v1/credits/balance", headers=auth)).json())
+            # unknown model -> sync job fails -> free credit refunded
+            from aiohttp import FormData
+
+            form = FormData()
+            form.add_field("image", fixtures.create_clean_image((32, 32)), filename="x.jpg")
+            form.add_field("options", json.dumps({"model": "nope"}))
+            resp = await client.post("/v1/jobs?sync=1", data=form, headers={**auth, **idem()})
+            assert resp.status == 502
+            balance_after = (await (await client.get("/v1/credits/balance", headers=auth)).json())
+            assert balance_after["dailyFreeUsed"] == balance_before["dailyFreeUsed"]
+
+        run(ctx, check)
+
+
 class TestUploadsFlow:
     def test_signed_url_then_submit(self, ctx):
         async def check(client):
