@@ -75,6 +75,13 @@ async def health_ready(request: web.Request) -> web.Response:
         else {"status": "degraded", "backend": "pillow", "reason": "native codec unavailable"}
     )
 
+    # backpressure signal: a deeply backed-up device queue degrades readiness
+    queue_depth = (ctx.batcher.depth() if ctx.batcher else 0) + ctx.queue.depth()
+    dependencies["servingQueue"] = {
+        "status": "degraded" if queue_depth > 4 * ctx.config.serving.max_batch else "ok",
+        "depth": queue_depth,
+    }
+
     any_failure = any(d["status"] == "unavailable" for d in dependencies.values())
     any_degraded = any(d["status"] == "degraded" for d in dependencies.values())
     metrics = get_request_metrics()
@@ -244,6 +251,22 @@ async def get_job(request: web.Request) -> web.Response:
     return web.json_response(job.to_public(include_result=include_result))
 
 
+async def get_job_image(request: web.Request) -> web.Response:
+    """Binary download of a finished job's restored image (the signed-download
+    analog of gcsClient.js:69-88, with attachment disposition)."""
+    import base64 as b64
+
+    _, job = _owned_job(request)
+    if job.state is not JobState.SUCCEEDED or not job.result:
+        raise not_found("Job has no restored image yet.")
+    data = b64.b64decode(job.result["restoredImage"])
+    return web.Response(
+        body=data,
+        content_type="image/jpeg",
+        headers={"Content-Disposition": f'attachment; filename="restored-{job.id}.jpg"'},
+    )
+
+
 async def list_jobs(request: web.Request) -> web.Response:
     ctx: AppContext = request.app["ctx"]
     jobs = ctx.jobs.list_for_user(request["user"]["id"])
@@ -369,13 +392,30 @@ async def admin_grant(request: web.Request) -> web.Response:
     return web.json_response({"userId": body["userId"], "credits": balance})
 
 
+async def metrics_endpoint(request: web.Request) -> web.Response:
+    """Prometheus text exposition of the serving counters + request stats."""
+    counters = get_counters().snapshot()
+    requests = get_request_metrics()
+    lines = []
+    for name, value in sorted(counters.items()):
+        metric = name if name.endswith(("_total", "_usd")) else f"irp_{name}"
+        lines.append(f"# TYPE {metric} gauge")
+        lines.append(f"{metric} {value}")
+    lines.append("# TYPE http_request_duration_ms_p95 gauge")
+    lines.append(f"http_request_duration_ms_p95 {requests['p95Ms']}")
+    lines.append(f"http_request_duration_ms_avg {requests['averageMs']}")
+    return web.Response(text="\n".join(lines) + "\n", content_type="text/plain")
+
+
 def setup_routes(app: web.Application) -> None:
     app.router.add_get("/health/live", health_live)
     app.router.add_get("/health/ready", health_ready)
+    app.router.add_get("/metrics", metrics_endpoint)
     app.router.add_post("/v1/jobs", submit_job)
     app.router.add_get("/v1/jobs", list_jobs)
     app.router.add_get("/v1/jobs/{job_id}", get_job)
     app.router.add_get("/v1/jobs/{job_id}/stream", stream_job)
+    app.router.add_get("/v1/jobs/{job_id}/image", get_job_image)
     app.router.add_get("/v1/credits/balance", credits_balance)
     app.router.add_get("/v1/uploads/signed-url", signed_url)
     app.router.add_put("/v1/uploads/{token}", put_upload)

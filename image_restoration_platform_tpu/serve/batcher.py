@@ -113,8 +113,19 @@ class MicroBatcher:
                         and self._running
                     ):
                         self._cv.wait(timeout=max(0.001, deadline - time.perf_counter()))
+                # expire requests that outlived their deadline while queued
+                # (per-request deadline, SURVEY.md section 5 device concerns)
+                now = time.perf_counter()
+                expired = []
+                while q and now - q[0].arrived > self.config.request_deadline_s:
+                    expired.append(q.popleft())
                 batch = [q.popleft() for _ in range(min(len(q), self.config.max_batch))]
 
+            for pending in expired:
+                if not pending.future.done():
+                    pending.future.set_exception(
+                        TimeoutError("request expired in batch queue")
+                    )
             if not batch:
                 continue
             family = key[0]

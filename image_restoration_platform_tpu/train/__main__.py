@@ -27,6 +27,14 @@ def psnr(a, b):
 def evaluate(params, family_name, key, n=16, size=128):
     family = get_family(family_name)
     degraded, clean, cond = synthetic_batch(key, n, DataConfig(size=size))
+    if family_name.startswith("sr-"):
+        scale = family.config.scale
+        b, h, w, c = degraded.shape
+        lr = degraded.reshape(b, h // scale, scale, w // scale, scale, c).mean(axis=(2, 4))
+        pred = family.apply(params, lr.astype(jnp.bfloat16), family.config)
+        baseline = jnp.repeat(jnp.repeat(lr, scale, axis=1), scale, axis=2)
+        pred = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+        return psnr(baseline, clean), psnr(pred, clean)
     pred = family.apply(params, degraded.astype(jnp.bfloat16), cond.astype(jnp.bfloat16), config=family.config)
     pred = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
     return psnr(degraded, clean), psnr(pred, clean)

@@ -67,9 +67,12 @@ def _degrade(key, clean, cfg: DataConfig):
     """Apply random degradations; returns (degraded, applied strengths [N,7])."""
     n = clean.shape[0]
     keys = jax.random.split(key, 10)
-    # which degradations are active (bernoulli 0.5 each)
+    # which degradations are active (bernoulli 0.5 each); 10% of examples are
+    # kept fully clean so the model learns the identity on good inputs
+    # (the reference's "good condition -> subtle enhancements only" contract)
     active = jax.random.bernoulli(keys[0], 0.5, (n, 7)).astype(jnp.float32)
-    strength = jax.random.uniform(keys[1], (n, 7)) * active
+    keep_clean = jax.random.bernoulli(keys[6], 0.1, (n, 1)).astype(jnp.float32)
+    strength = jax.random.uniform(keys[1], (n, 7)) * active * (1.0 - keep_clean)
 
     x = clean
 
@@ -131,9 +134,22 @@ def _degrade(key, clean, cfg: DataConfig):
 
 @partial(jax.jit, static_argnames=("n", "cfg"))
 def synthetic_batch(key: jax.Array, n: int, cfg: DataConfig = DataConfig()):
-    """(degraded [N,S,S,3], clean [N,S,S,3], cond [N,28]) — one device program."""
-    k_clean, k_deg = jax.random.split(key)
+    """(degraded [N,S,S,3], clean [N,S,S,3], cond [N,28]) — one device program.
+
+    The conditioning vector is computed by running the SERVING classifier on
+    the degraded image (classify/fused.py), not from the applied degradation
+    strengths: at inference the model only ever sees classifier-estimated
+    scores, so training must condition on the same distribution (an earlier
+    true-strength variant trained to +11 dB in-distribution but transferred
+    ~0 dB through the serving path). ``is_jpeg`` is randomised since serving
+    traffic is mostly JPEG.
+    """
+    from ..classify.fused import batch_classify_and_condition
+
+    k_clean, k_deg, k_jpeg = jax.random.split(key, 3)
     clean = _random_clean(k_clean, n, cfg.size, cfg.channels)
-    degraded, strength = _degrade(k_deg, clean, cfg)
-    cond = jax.vmap(conditioning_from_scores)(strength)
+    degraded, _strength = _degrade(k_deg, clean, cfg)
+    is_jpeg = jax.random.bernoulli(k_jpeg, 0.7, (n,)).astype(jnp.float32)
+    valid = jnp.tile(jnp.asarray([[cfg.size, cfg.size]], jnp.int32), (n, 1))
+    _scores, cond = batch_classify_and_condition(degraded * 255.0, valid, is_jpeg)
     return degraded, clean, cond

@@ -89,12 +89,24 @@ def make_train_step(cfg: TrainConfig, mesh=None):
             lambda p, x, c: family.apply(p, x, c, config=model_cfg), static_argnums=()
         )
 
+    is_sr = cfg.family.startswith("sr-")
+    sr_scale = getattr(model_cfg, "scale", 1)
+
     def loss_fn(params, degraded, clean, cond):
-        x = degraded.astype(cfg.compute_dtype)
-        if cfg.remat:
-            pred = apply_fn(params, x, cond.astype(cfg.compute_dtype))
+        if is_sr:
+            # SR pairs: low-res = box-downsampled *degraded* image (so the SR
+            # net learns restoration + upscaling jointly), target = clean
+            n, h, w, c = degraded.shape
+            lr = degraded.reshape(n, h // sr_scale, sr_scale, w // sr_scale, sr_scale, c).mean(
+                axis=(2, 4)
+            )
+            pred = family.apply(params, lr.astype(cfg.compute_dtype), model_cfg)
         else:
-            pred = apply_fn(params, x, cond.astype(cfg.compute_dtype), config=model_cfg)
+            x = degraded.astype(cfg.compute_dtype)
+            if cfg.remat:
+                pred = apply_fn(params, x, cond.astype(cfg.compute_dtype))
+            else:
+                pred = apply_fn(params, x, cond.astype(cfg.compute_dtype), config=model_cfg)
         pred = pred.astype(jnp.float32)
         loss = charbonnier(pred, clean, cfg.charbonnier_eps)
         loss = loss + cfg.grad_loss_weight * gradient_loss(pred, clean)

@@ -324,6 +324,33 @@ class TestSSE:
         run(ctx, check)
 
 
+class TestMetricsAndDownload:
+    def test_metrics_endpoint(self, ctx):
+        async def check(client):
+            resp = await client.get("/metrics")
+            assert resp.status == 200
+            text = await resp.text()
+            assert "http_requests_total" in text
+
+        run(ctx, check)
+
+    def test_job_image_download(self, ctx):
+        async def check(client):
+            image = fixtures.create_clean_image((32, 32))
+            resp = await client.post(
+                "/v1/jobs?sync=1", data=form_for(image), headers={**AUTH, **idem()}
+            )
+            job_id = (await resp.json())["id"]
+            resp = await client.get(f"/v1/jobs/{job_id}/image", headers=AUTH)
+            assert resp.status == 200
+            assert resp.content_type == "image/jpeg"
+            body = await resp.read()
+            assert body[:3] == b"\xff\xd8\xff"
+            assert "attachment" in resp.headers["Content-Disposition"]
+
+        run(ctx, check)
+
+
 class TestAdmin:
     def test_analytics(self, ctx):
         async def check(client):
