@@ -73,17 +73,34 @@ async def timing_middleware(request: web.Request, handler):
 
 @web.middleware
 async def security_headers_middleware(request: web.Request, handler):
-    """Helmet-equivalent headers (securityHeaders.js:5-52)."""
+    """Helmet-equivalent headers (securityHeaders.js:5-52); connect-src is
+    extended by NEXT_PUBLIC_API_URL (securityHeaders.js:20-22) and CORS is
+    granted to FRONTEND_URL (server.js:35-42)."""
+    import os
+
     response = await handler(request)
+    connect_src = "'self'"
+    api_url = os.environ.get("NEXT_PUBLIC_API_URL")
+    if api_url:
+        connect_src += f" {api_url}"
     response.headers.setdefault(
         "Content-Security-Policy",
-        "default-src 'self'; img-src 'self' data: blob:; connect-src 'self'",
+        f"default-src 'self'; img-src 'self' data: blob:; connect-src {connect_src}",
     )
     response.headers.setdefault("Strict-Transport-Security", "max-age=15552000; includeSubDomains")
     response.headers.setdefault("X-Content-Type-Options", "nosniff")
     response.headers.setdefault("X-Frame-Options", "DENY")
     response.headers.setdefault("Cross-Origin-Opener-Policy", "same-origin")
     response.headers.setdefault("Cross-Origin-Resource-Policy", "same-origin")
+
+    origin = request.headers.get("Origin")
+    allowed = os.environ.get("FRONTEND_URL")
+    if origin and allowed and origin.rstrip("/") == allowed.rstrip("/"):
+        response.headers["Access-Control-Allow-Origin"] = origin
+        response.headers["Access-Control-Allow-Headers"] = (
+            "Authorization, Content-Type, Idempotency-Key, X-Request-Id"
+        )
+        response.headers["Access-Control-Allow-Methods"] = "GET, POST, PUT, OPTIONS"
     return response
 
 
@@ -108,28 +125,51 @@ async def error_middleware(request: web.Request, handler):
         return problem_response(internal_error(), request_id)
 
 
-def auth_middleware_factory(ctx: AppContext):
-    """Bearer auth. Without a real identity backend the mock token scheme from
-    the reference applies: ``dev-user-<id>`` (firebaseAuth.js:43-55)."""
+def auth_middleware_factory(ctx: AppContext, verifier=None, authorize=None):
+    """Bearer auth with pluggable verification (firebaseAuth.js:57-134
+    semantics: ``optional`` paths pass through, ``authorize`` hook gates with
+    403). Without a real identity backend the mock token scheme applies:
+    ``dev-user-<id>`` (firebaseAuth.js:43-55).
+
+    ``verifier(token) -> user dict`` raises/returns None on invalid tokens;
+    ``authorize(user, request) -> bool`` denies with a 403 problem.
+    """
+
+    def default_verifier(token: str):
+        if token.startswith("dev-user-"):
+            user_id = token.split("-", 2)[2] or "mock-user"
+            return {
+                "id": user_id,
+                "email": f"{user_id}@example.dev",
+                "tokenSource": "mock",
+            }
+        return None
+
+    verify = verifier or default_verifier
 
     @web.middleware
     async def auth_middleware(request: web.Request, handler):
-        if not request.path.startswith("/v1"):
+        if not (request.path.startswith("/v1") or request.path.startswith("/api")):
+            return await handler(request)
+        if request.method == "OPTIONS" or request.path.startswith("/v1/webhooks"):
+            # webhooks authenticate by signature, not bearer token
             return await handler(request)
 
         header = request.headers.get("Authorization", "")
         if not header.startswith("Bearer "):
             raise unauthorized("Missing bearer token.")
         token = header[len("Bearer ") :].strip()
-        if token.startswith("dev-user-"):
-            user_id = token.split("-", 2)[2] or "mock-user"
-            request["user"] = {
-                "id": user_id,
-                "email": f"{user_id}@example.dev",
-                "tokenSource": "mock",
-            }
-        else:
+        try:
+            user = verify(token)
+        except Exception:
+            user = None
+        if user is None:
             raise unauthorized("Invalid or unverifiable token.")
+        if authorize is not None and not authorize(user, request):
+            from ..problem import forbidden
+
+            raise forbidden()
+        request["user"] = user
         return await handler(request)
 
     return auth_middleware
@@ -189,6 +229,9 @@ def idempotency_middleware_factory(ctx: AppContext):
     @web.middleware
     async def idempotency_middleware(request: web.Request, handler):
         if request.method != "POST" or not request.path.startswith("/v1"):
+            return await handler(request)
+        if request.path.startswith("/v1/webhooks"):
+            # webhook providers retry with their own event ids, not our header
             return await handler(request)
 
         key = request.headers.get("Idempotency-Key")

@@ -345,6 +345,97 @@ async def put_upload(request: web.Request) -> web.Response:
     return web.json_response({"status": "stored", "token": request.match_info["token"]})
 
 
+# --------------------------------------------------------------- webhooks
+
+async def stripe_webhook(request: web.Request) -> web.Response:
+    """Stripe payment webhook: HMAC-verified credit grants.
+
+    The reference requires STRIPE_WEBHOOK_SECRET at boot (secrets.js:1-8) and
+    specs the purchase flow in its design docs; this implements the
+    signature-verified grant: ``checkout.session.completed`` events credit
+    ``metadata.userId`` with ``metadata.credits``.
+    """
+    import hashlib
+    import hmac
+    import os
+
+    ctx: AppContext = request.app["ctx"]
+    secret = os.environ.get("STRIPE_WEBHOOK_SECRET", "")
+    body = await request.read()
+    signature = request.headers.get("Stripe-Signature", "")
+
+    if secret:
+        # stripe scheme: "t=<ts>,v1=<hmac_sha256(ts + '.' + body)>"
+        parts = dict(p.split("=", 1) for p in signature.split(",") if "=" in p)
+        expected = hmac.new(
+            secret.encode(), f"{parts.get('t', '')}.".encode() + body, hashlib.sha256
+        ).hexdigest()
+        if not hmac.compare_digest(expected, parts.get("v1", "")):
+            from ..problem import unauthorized as unauth
+
+            raise unauth("Invalid webhook signature.")
+
+    try:
+        event = json.loads(body)
+    except json.JSONDecodeError:
+        from ..problem import upload_validation_failed
+
+        raise upload_validation_failed("Malformed webhook payload.")
+
+    if event.get("type") == "checkout.session.completed":
+        metadata = (event.get("data", {}).get("object", {}) or {}).get("metadata", {})
+        user_id = metadata.get("userId")
+        credits = int(metadata.get("credits", 0))
+        if user_id and credits > 0:
+            balance = ctx.user_store.grant(user_id, credits)
+            ctx.store.delete(f"credits:{user_id}")
+            ctx.ledger.add(
+                {
+                    "userId": user_id,
+                    "jobId": None,
+                    "amount": credits,
+                    "type": "purchase",
+                    "reason": "Stripe checkout completed",
+                }
+            )
+            return web.json_response({"received": True, "credits": balance})
+    return web.json_response({"received": True})
+
+
+# ------------------------------------------------------- spec'd alias API
+
+async def restore_single(request: web.Request) -> web.Response:
+    """POST /api/restore/single — the reference's FastAPI spec endpoint
+    (image-restoration-platform.md:874-1132): multipart image (+prompt),
+    synchronous restoration result."""
+    ctx: AppContext = request.app["ctx"]
+    user = request["user"]
+    form = await request.post()
+    field = form.get("image")
+    if field is None or not hasattr(field, "file"):
+        raise image_missing()
+    data = field.file.read()
+    _validate_upload(field.filename or "upload.jpg", data, ctx)
+    _, jpeg, _ops = await asyncio.to_thread(_preprocess, data, ctx)
+    moderation = await asyncio.to_thread(
+        ctx.moderation.moderate, jpeg, {"userId": user["id"]}
+    )
+    if not moderation["allowed"]:
+        raise content_rejected(
+            moderation["rejection"]["reason"],
+            moderation["rejection"]["categories"],
+            moderation["flags"],
+        )
+    result = await asyncio.to_thread(
+        ctx.restorator.restore,
+        jpeg,
+        form.get("prompt") or None,
+        {"userId": user["id"]},
+        {},
+    )
+    return web.json_response(result, status=200 if result.get("success") else 502)
+
+
 # ------------------------------------------------------------------ admin
 
 async def admin_analytics(request: web.Request) -> web.Response:
@@ -419,6 +510,8 @@ def setup_routes(app: web.Application) -> None:
     app.router.add_get("/v1/credits/balance", credits_balance)
     app.router.add_get("/v1/uploads/signed-url", signed_url)
     app.router.add_put("/v1/uploads/{token}", put_upload)
+    app.router.add_post("/v1/webhooks/stripe", stripe_webhook)
+    app.router.add_post("/api/restore/single", restore_single)
     app.router.add_get("/v1/admin/analytics", admin_analytics)
     app.router.add_post("/v1/admin/jobs/{job_id}/replay", admin_replay)
     app.router.add_post("/v1/admin/credits/grant", admin_grant)

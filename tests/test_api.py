@@ -351,6 +351,65 @@ class TestMetricsAndDownload:
         run(ctx, check)
 
 
+class TestStripeWebhook:
+    def test_signed_grant(self, ctx, monkeypatch):
+        import hashlib
+        import hmac as hmac_mod
+
+        monkeypatch.setenv("STRIPE_WEBHOOK_SECRET", "whsec_test")
+
+        async def check(client):
+            event = json.dumps(
+                {
+                    "type": "checkout.session.completed",
+                    "data": {"object": {"metadata": {"userId": "buyer", "credits": "25"}}},
+                }
+            ).encode()
+            ts = "12345"
+            sig = hmac_mod.new(b"whsec_test", f"{ts}.".encode() + event, hashlib.sha256).hexdigest()
+            resp = await client.post(
+                "/v1/webhooks/stripe",
+                data=event,
+                headers={"Stripe-Signature": f"t={ts},v1={sig}"},
+            )
+            assert resp.status == 200
+            assert (await resp.json())["credits"] == 25
+
+            balance = await (
+                await client.get(
+                    "/v1/credits/balance", headers={"Authorization": "Bearer dev-user-buyer"}
+                )
+            ).json()
+            assert balance["paidCredits"] == 25
+
+            # tampered signature rejected
+            resp = await client.post(
+                "/v1/webhooks/stripe",
+                data=event,
+                headers={"Stripe-Signature": f"t={ts},v1={'0'*64}"},
+            )
+            assert resp.status == 401
+
+        run(ctx, check)
+
+
+class TestRestoreSingleAlias:
+    def test_api_restore_single(self, ctx):
+        async def check(client):
+            from aiohttp import FormData
+
+            form = FormData()
+            form.add_field("image", fixtures.create_dark_image((32, 32)), filename="p.jpg")
+            form.add_field("prompt", "brighten this")
+            resp = await client.post("/api/restore/single", data=form, headers=AUTH)
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["success"] is True
+            assert "brighten this" in body["enhancedPrompt"]
+
+        run(ctx, check)
+
+
 class TestAdmin:
     def test_analytics(self, ctx):
         async def check(client):
