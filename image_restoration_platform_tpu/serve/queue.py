@@ -107,7 +107,20 @@ class JobQueue:
             except ValueError:
                 continue  # raced with an external transition
             try:
-                result = self.handler(job)
+                # re-attach the submit-time W3C trace context in the worker
+                # (design.md:819-837: traceparent flows through the queue)
+                from ..obs.tracing import get_tracer
+
+                with get_tracer("job-worker").span(
+                    "job.process",
+                    {
+                        "job.id": job.id,
+                        "job.attempt": job.attempts,
+                        "job.traceparent": job.traceparent or "",
+                        "job.request_id": job.request_id or "",
+                    },
+                ):
+                    result = self.handler(job)
                 if result.get("success"):
                     self.store.transition(
                         job.id,
