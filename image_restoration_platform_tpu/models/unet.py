@@ -23,7 +23,7 @@ each bucket compiles once and is cached (serve/batcher.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

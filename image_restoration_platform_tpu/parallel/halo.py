@@ -13,11 +13,10 @@ total receptive field r, pass halo >= r//2.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import AXIS_SPATIAL
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 import threading
 import time
 import uuid
-from functools import partial
 
 import jax
 import jax.numpy as jnp

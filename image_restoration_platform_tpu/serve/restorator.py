@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import base64
 import time
-import uuid
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np

@@ -1,12 +1,12 @@
 """Synthetic degradation training data, generated entirely on device.
 
 The restoration model learns the inverse of the classifier's taxonomy: clean
-procedural images are degraded by differentiable/simulable analogs of the
-seven degradation types (blur / noise / lowLight / compression / scratch /
-fade / colorShift), and the conditioning vector is derived from the *applied*
-degradation strengths — so conditioning semantics match serving, where the
-classifier estimates those strengths. Everything is jit-compiled: one device
-program produces (degraded, clean, cond) batches with no host data loading.
+procedural images are degraded by simulable analogs of the seven degradation
+types (blur / noise / lowLight / compression / scratch / fade / colorShift),
+and the conditioning vector comes from running the *serving classifier* on
+the degraded result (see synthetic_batch docstring). Everything is
+jit-compiled: one device program produces (degraded, clean, cond) batches
+with no host data loading.
 
 This mirrors the reference's test-fixture philosophy (procedural generation,
 imageFixtures.js:5-93) scaled up to a training distribution.
@@ -20,7 +20,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..classify.fused import conditioning_from_scores
 from ..ops.stencil import gaussian_blur
 
 

@@ -28,7 +28,6 @@ import numpy as np
 import optax
 
 from ..models import get_family
-from ..parallel.mesh import make_mesh
 from ..parallel.sharding import activation_sharding, batch_sharding, param_shardings
 from ..utils.logging import get_logger
 from .data import DataConfig, synthetic_batch

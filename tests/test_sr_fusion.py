@@ -42,12 +42,17 @@ class TestSR:
         assert out.shape == (128, 128, 3)
         assert meta["deviceSeconds"] > 0
 
-    def test_tiled_matches_direct_for_zero_init(self, service):
+    def test_tiled_matches_direct_for_zero_init(self, monkeypatch, tmp_path):
         """Zero-init SRNet == nearest upsample, so tiled and direct agree
-        (the overlap-blend must not introduce seams)."""
+        exactly (the overlap-blend must not introduce seams). Uses an engine
+        isolated from any shipped trained weights — a trained (nonlinear)
+        net legitimately differs near tile borders."""
+        monkeypatch.setenv("IRP_WEIGHTS_DIR", str(tmp_path))
+        cfg = ServingConfig(size_buckets=(64,), max_batch=4)
+        engine = RestorationEngine(serving_config=cfg)
         canvas = imageio.decode_image(fixtures.create_color_shifted_image((64, 64))).pixels
-        tiled, _ = service.engine.sr_tiled(canvas, "sr-x2", tile=32, overlap=16, tile_batch=4)
-        direct, _ = service.engine.sr_batch(canvas[None], "sr-x2")
+        tiled, _ = engine.sr_tiled(canvas, "sr-x2", tile=32, overlap=16, tile_batch=4)
+        direct, _ = engine.sr_batch(canvas[None], "sr-x2")
         np.testing.assert_allclose(
             tiled.astype(int), direct[0].astype(int), atol=1
         )
