@@ -22,7 +22,7 @@ from ..ops.stencil import (
     K_HIGHPASS9,
     K_LAPLACIAN4,
     K_LAPLACIAN8,
-    conv3x3_clamped_u8,
+    conv3x3_multi_clamped_u8,
     gaussian_blur,
     grayscale,
 )
@@ -62,12 +62,14 @@ def masked_classify_scores(
     mask = _valid_mask(hw, valid_h, valid_w)
     count = (valid_h * valid_w).astype(jnp.float32)
 
+    # all three stencils in one conv pass (bit-identical to separate convs)
+    stencils = conv3x3_multi_clamped_u8(gray, (K_LAPLACIAN8, K_HIGHPASS9, K_LAPLACIAN4))
+    lap8, hp9, lap4 = stencils[:, :, 0], stencils[:, :, 1], stencils[:, :, 2]
+
     # blur
-    lap8 = conv3x3_clamped_u8(gray, K_LAPLACIAN8)
     blur = jnp.maximum(0.0, 1.0 - jnp.minimum(_masked_var(lap8, mask, count) / 1000.0, 1.0))
 
     # noise
-    hp9 = conv3x3_clamped_u8(gray, K_HIGHPASS9)
     noise = jnp.minimum(jnp.sqrt(_masked_var(hp9, mask, count)) / 50.0, 1.0)
 
     # masked channel stats
@@ -88,7 +90,6 @@ def masked_classify_scores(
     compression = jnp.minimum(jnp.maximum(0.0, var_orig - var_blur) / 500.0, 1.0) * is_jpeg
 
     # scratch (stride-4 paired-threshold scan, masked)
-    lap4 = conv3x3_clamped_u8(gray, K_LAPLACIAN4)
     over = (lap4 > _SCRATCH_THRESHOLD) & (mask > 0)
     right = jnp.pad(over, ((0, 0), (0, 1)))[:, 1:]
     down = jnp.pad(over, ((0, 1), (0, 0)))[1:, :]

@@ -51,6 +51,22 @@ def conv3x3_clamped_u8(gray: jax.Array, kernel: np.ndarray) -> jax.Array:
     return jnp.clip(jnp.round(out), 0.0, 255.0)
 
 
+def conv3x3_multi_clamped_u8(gray: jax.Array, kernels: tuple) -> jax.Array:
+    """All classifier stencils in ONE conv: [H, W] -> [H, W, K] clamped bytes.
+
+    Bit-identical to K separate conv3x3_clamped_u8 calls (independent output
+    channels), but a single pass over the image — the classifier's three
+    stencils (lap8/hp9/lap4) share one memory-bound traversal.
+    """
+    x = gray.astype(jnp.float32)
+    x = jnp.pad(x, ((1, 1), (1, 1)), mode="edge")[None, :, :, None]
+    k4 = jnp.stack([jnp.asarray(k, jnp.float32) for k in kernels], axis=-1)[:, :, None, :]
+    out = jax.lax.conv_general_dilated(
+        x, k4, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )[0]
+    return jnp.clip(jnp.round(out), 0.0, 255.0)
+
+
 @lru_cache(maxsize=16)
 def _gaussian_kernel_1d(sigma: float) -> np.ndarray:
     # matches vips gaussblur support: radius covers +/-3 sigma
