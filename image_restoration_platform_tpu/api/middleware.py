@@ -118,6 +118,20 @@ async def error_middleware(request: web.Request, handler):
         return problem_response(file_too_large(10), request_id)
     except web.HTTPNotFound:
         return problem_response(not_found(), request_id)
+    except web.HTTPMethodNotAllowed as error:
+        # the catch-all OPTIONS preflight route makes unmatched paths resolve
+        # with allowed={OPTIONS}; surface those as 404, real mismatches as 405
+        allowed = {m.upper() for m in (error.allowed_methods or set())}
+        if allowed <= {"OPTIONS"}:
+            return problem_response(not_found(), request_id)
+        return problem_response(
+            Problem(
+                title="Method Not Allowed",
+                status=405,
+                detail=f"Allowed methods: {', '.join(sorted(allowed))}.",
+            ),
+            request_id,
+        )
     except web.HTTPException:
         raise
     except Exception as error:  # noqa: BLE001

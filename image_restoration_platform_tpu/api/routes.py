@@ -515,3 +515,8 @@ def setup_routes(app: web.Application) -> None:
     app.router.add_get("/v1/admin/analytics", admin_analytics)
     app.router.add_post("/v1/admin/jobs/{job_id}/replay", admin_replay)
     app.router.add_post("/v1/admin/credits/grant", admin_grant)
+
+    async def preflight(request: web.Request) -> web.Response:
+        return web.Response(status=204)
+
+    app.router.add_route("OPTIONS", "/{tail:.*}", preflight)

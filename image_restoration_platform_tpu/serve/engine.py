@@ -182,13 +182,19 @@ class RestorationEngine:
         cls._code_fp_cache = h.hexdigest()
         return cls._code_fp_cache
 
-    def _aot_executable(self, family_name: str, example_args: tuple):
-        """Compile (or load) the program for this exact arg signature."""
+    def _aot_executable(self, tag, example_args: tuple, fn=None, params=None):
+        """Compile (or load) the program ``tag`` for this exact arg signature.
+
+        ``tag`` identifies the program builder (a family name for the fused
+        restore path, or a tuple like ("sr_tiled", family, ...)); ``fn`` and
+        ``params`` default to the family program + family params.
+        """
         import hashlib
         import os
         import pickle
 
-        key_sig = (family_name,) + tuple(
+        family_name = tag if isinstance(tag, str) else tag[1]
+        key_sig = (tag,) + tuple(
             (tuple(a.shape), str(a.dtype)) for a in example_args if hasattr(a, "shape")
         )
         with self._lock:
@@ -196,8 +202,8 @@ class RestorationEngine:
         if cached is not None:
             return cached
 
-        fn = self._compiled_fn(family_name)
-        params = self._params(family_name)
+        fn = fn if fn is not None else self._compiled_fn(family_name)
+        params = params if params is not None else self._params(family_name)
 
         # Disk caching is TPU-only: XLA:CPU AOT results are machine-feature
         # sensitive and reload unreliably (cpu_aot_loader feature mismatch).
@@ -358,46 +364,36 @@ class RestorationEngine:
         dominate the composite. Returns (fused [B,B,3], scores [K,7], meta).
         """
         k = canvas_u8.shape[0]
-        key_sig = ("fusion", family_name, k, canvas_u8.shape[1])
+        from ..classify.fused import batch_classify_and_condition
 
-        with self._lock:
-            fusion_fn = self._compiled.get(key_sig)
-        if fusion_fn is None:
-            from ..classify.fused import batch_classify_and_condition
+        family = get_family(family_name)
+        cfg = family.config
+        dtype = self.dtype
 
-            family = get_family(family_name)
-            cfg = family.config
-            dtype = self.dtype
-
-            def program(params, canvas, vhw, jpeg_f):
-                scores, cond = batch_classify_and_condition(
-                    canvas.astype(jnp.float32), vhw, jpeg_f
-                )
-                x = canvas.astype(dtype) / dtype(255.0)
-                restored = family.apply(params, x, cond.astype(dtype), config=cfg)
-                restored = jnp.clip(restored.astype(jnp.float32), 0.0, 1.0)
-                # quality weighting: blur/noise/lowLight degrade alignment-free
-                # fusion the most; softmax sharpens the preference
-                quality = 1.0 - (scores[:, 0] + scores[:, 1] + scores[:, 2]) / 3.0
-                weights = jax.nn.softmax(4.0 * quality)
-                fused = jnp.einsum("k,khwc->hwc", weights, restored)
-                fused_u8 = jnp.round(jnp.clip(fused, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-                return fused_u8, scores
-
-            fusion_fn = jax.jit(program)
-            with self._lock:
-                self._compiled[key_sig] = fusion_fn
+        def program(params, canvas, vhw, jpeg_f):
+            scores, cond = batch_classify_and_condition(
+                canvas.astype(jnp.float32), vhw, jpeg_f
+            )
+            x = canvas.astype(dtype) / dtype(255.0)
+            restored = family.apply(params, x, cond.astype(dtype), config=cfg)
+            restored = jnp.clip(restored.astype(jnp.float32), 0.0, 1.0)
+            # quality weighting: blur/noise/lowLight degrade alignment-free
+            # fusion the most; softmax sharpens the preference
+            quality = 1.0 - (scores[:, 0] + scores[:, 1] + scores[:, 2]) / 3.0
+            weights = jax.nn.softmax(4.0 * quality)
+            fused = jnp.einsum("k,khwc->hwc", weights, restored)
+            fused_u8 = jnp.round(jnp.clip(fused, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            return fused_u8, scores
 
         params = self._params(family_name)
         imgs_d, _ = self._place(canvas_u8, None)
+        args = (imgs_d, np.asarray(valid_hw, np.int32), np.asarray(is_jpeg, np.float32))
+        executable = self._aot_executable(
+            ("fusion", family_name), args, fn=jax.jit(program), params=params
+        )
         t0 = time.perf_counter()
         with device_trace(f"fuse/{family_name}/k{k}/{canvas_u8.shape[1]}"):
-            fused, scores = fusion_fn(
-                params,
-                imgs_d,
-                np.asarray(valid_hw, np.int32),
-                np.asarray(is_jpeg, np.float32),
-            )
+            fused, scores = executable(params, *args)
             fused = jax.block_until_ready(fused)
         device_s = time.perf_counter() - t0
         self.device_seconds_total += device_s
@@ -415,12 +411,12 @@ class RestorationEngine:
     def sr_batch(self, imgs_u8: np.ndarray, family_name: str = "sr-x2") -> tuple[np.ndarray, dict]:
         """Super-resolution batch (no conditioning)."""
         n = imgs_u8.shape[0]
-        fn = self._compiled_fn(family_name)
         params = self._params(family_name)
         imgs_d, _ = self._place(imgs_u8, None)
+        executable = self._aot_executable(("sr", family_name), (imgs_d,))
         t0 = time.perf_counter()
         with device_trace(f"sr/{family_name}/{imgs_u8.shape[1]}x{imgs_u8.shape[2]}"):
-            out = jax.block_until_ready(fn(params, imgs_d))
+            out = jax.block_until_ready(executable(params, imgs_d))
         device_s = time.perf_counter() - t0
         self.device_seconds_total += device_s
         return np.asarray(out)[:n], {
@@ -451,37 +447,35 @@ class RestorationEngine:
         cfg = family.config
         scale = cfg.scale
         size = canvas_u8.shape[0]
-        key_sig = ("sr_tiled", family_name, size, tile, overlap, tile_batch)
+        dtype = self.dtype
 
-        with self._lock:
-            program = self._compiled.get(key_sig)
-        if program is None:
-            dtype = self.dtype
+        def sr_fn_builder(params):
+            def per_tiles(tiles):
+                x = tiles.astype(dtype) / dtype(255.0)
+                out = family.apply(params, x, cfg)
+                return out.astype(jnp.float32) * 255.0
 
-            def sr_fn_builder(params):
-                def per_tiles(tiles):
-                    x = tiles.astype(dtype) / dtype(255.0)
-                    out = family.apply(params, x, cfg)
-                    return out.astype(jnp.float32) * 255.0
+            return per_tiles
 
-                return per_tiles
-
-            def program_fn(params, canvas):
-                img = canvas.astype(jnp.float32)
-                out = tiled_apply(
-                    img, sr_fn_builder(params), tile=tile, overlap=overlap,
-                    scale=scale, tile_batch=tile_batch,
-                )
-                return jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
-
-            program = jax.jit(program_fn)
-            with self._lock:
-                self._compiled[key_sig] = program
+        def program_fn(params, canvas):
+            img = canvas.astype(jnp.float32)
+            out = tiled_apply(
+                img, sr_fn_builder(params), tile=tile, overlap=overlap,
+                scale=scale, tile_batch=tile_batch,
+            )
+            return jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
 
         params = self._params(family_name)
+        canvas_d = jax.device_put(canvas_u8)
+        executable = self._aot_executable(
+            ("sr_tiled", family_name, tile, overlap, tile_batch),
+            (canvas_d,),
+            fn=jax.jit(program_fn),
+            params=params,
+        )
         t0 = time.perf_counter()
         with device_trace(f"sr_tiled/{family_name}/{size}t{tile}"):
-            out = jax.block_until_ready(program(params, jax.device_put(canvas_u8)))
+            out = jax.block_until_ready(executable(params, canvas_d))
         device_s = time.perf_counter() - t0
         self.device_seconds_total += device_s
         return np.asarray(out), {

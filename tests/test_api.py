@@ -100,6 +100,31 @@ class TestAuth:
         run(ctx, check)
 
 
+class TestErrorsAndCors:
+    def test_unknown_route_is_problem_json(self, ctx):
+        async def check(client):
+            resp = await client.get("/no/such/route")
+            assert resp.status == 404
+            assert resp.content_type == "application/problem+json"
+
+        run(ctx, check)
+
+    def test_cors_preflight(self, ctx, monkeypatch):
+        monkeypatch.setenv("FRONTEND_URL", "https://app.example.com")
+
+        async def check(client):
+            resp = await client.options(
+                "/v1/jobs", headers={"Origin": "https://app.example.com"}
+            )
+            assert resp.status == 204
+            assert resp.headers["Access-Control-Allow-Origin"] == "https://app.example.com"
+            # other origins get no CORS grant
+            resp = await client.options("/v1/jobs", headers={"Origin": "https://evil.example"})
+            assert "Access-Control-Allow-Origin" not in resp.headers
+
+        run(ctx, check)
+
+
 class TestRequestContext:
     def test_request_id_echo_and_traceparent(self, ctx):
         async def check(client):
