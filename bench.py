@@ -8,7 +8,7 @@ metrics (batched device throughput, p50/p95 latency) go to stderr.
 
 vs_baseline compares against the CPU reference of the SAME pipeline, measured
 on this machine (1-core CPU, XLA:CPU, flagship restore-unet, 512px e2e):
-0.0419 images/sec — see BASELINE.md. The north-star target is >=10x.
+0.0454 images/sec — see BASELINE.md. The north-star target is >=10x.
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-CPU_BASELINE_IMAGES_PER_SEC = 0.0419  # measured 2026-08-16, see BASELINE.md
+CPU_BASELINE_IMAGES_PER_SEC = 0.0454  # re-measured 2026-08-16 post stencil-fusion, see BASELINE.md
 
 N_WARM = 2
 N_SINGLE = 12

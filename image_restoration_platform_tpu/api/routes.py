@@ -438,9 +438,18 @@ async def restore_single(request: web.Request) -> web.Response:
 
 # ------------------------------------------------------------------ admin
 
+def _require_admin(request: web.Request) -> None:
+    """Admin allowlist via ADMIN_USERS (comma-separated ids); open in dev
+    when unset, matching the reference's unshipped admin spec."""
+    admins = os.environ.get("ADMIN_USERS", "")
+    if admins and request["user"]["id"] not in {a.strip() for a in admins.split(",")}:
+        raise forbidden("Admin access required.")
+
+
 async def admin_analytics(request: web.Request) -> web.Response:
     """Aggregated credits/cost/failure analytics
     (image-restoration-platform.md:1419-1484 spec)."""
+    _require_admin(request)
     ctx: AppContext = request.app["ctx"]
     ledger = ctx.ledger.entries()
     moderation = ctx.moderation.audit.entries()
@@ -467,6 +476,7 @@ async def admin_analytics(request: web.Request) -> web.Response:
 
 
 async def admin_replay(request: web.Request) -> web.Response:
+    _require_admin(request)
     ctx: AppContext = request.app["ctx"]
     try:
         job = ctx.queue.replay_dead_letter(request.match_info["job_id"])
@@ -476,6 +486,7 @@ async def admin_replay(request: web.Request) -> web.Response:
 
 
 async def admin_grant(request: web.Request) -> web.Response:
+    _require_admin(request)
     ctx: AppContext = request.app["ctx"]
     body = await request.json()
     balance = ctx.user_store.grant(body["userId"], int(body["amount"]))

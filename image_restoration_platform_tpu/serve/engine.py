@@ -34,6 +34,12 @@ def enable_persistent_compilation_cache() -> None:
     reuse compiled programs instead of paying multi-minute TPU compiles."""
     import os
 
+    # CPU-only contexts (tests, baseline runs) skip the cache: XLA:CPU AOT
+    # results are machine-feature-pinned and reload with SIGILL-risk warnings.
+    platforms = getattr(jax.config, "jax_platforms", None)
+    if platforms and set(platforms.split(",")) == {"cpu"}:
+        return
+
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/irp_xla_cache")
     try:
         os.makedirs(cache_dir, exist_ok=True)

@@ -446,6 +446,19 @@ class TestAdmin:
 
         run(ctx, check)
 
+    def test_admin_allowlist(self, ctx, monkeypatch):
+        monkeypatch.setenv("ADMIN_USERS", "ops-team")
+
+        async def check(client):
+            resp = await client.get("/v1/admin/analytics", headers=AUTH)
+            assert resp.status == 403
+            resp = await client.get(
+                "/v1/admin/analytics", headers={"Authorization": "Bearer dev-user-ops-team"}
+            )
+            assert resp.status == 200
+
+        run(ctx, check)
+
     def test_grant_credits(self, ctx):
         async def check(client):
             resp = await client.post(
