@@ -65,8 +65,15 @@ def main() -> None:
         # e.g. SERVE_WARMUP=256,512 — compile-cache warmup before accepting
         # traffic; with the persistent XLA cache this is fast after first boot
         sizes = tuple(int(s) for s in warmup.split(",") if s)
-        _log.info("Warming serving executables", {"buckets": list(sizes)})
-        ctx.engine.warmup(sizes=sizes, batches=(1, config.serving.max_batch))
+        # every power-of-two batch bucket must be warm, or the first mixed
+        # burst of traffic head-of-line blocks behind b2/b4 compiles
+        batches = []
+        b = 1
+        while b <= config.serving.max_batch:
+            batches.append(b)
+            b *= 2
+        _log.info("Warming serving executables", {"buckets": list(sizes), "batches": batches})
+        ctx.engine.warmup(sizes=sizes, batches=tuple(batches))
     app = create_app(ctx=ctx, config=config)
     _log.info("Starting server", {"port": config.port})
     web.run_app(app, port=config.port, print=None)

@@ -43,7 +43,11 @@ def list_families() -> list[str]:
     return sorted(_FAMILIES)
 
 
-register(ModelFamily("restore-unet", unet.init, unet.apply, unet.UNetConfig()))
+# flagship: space-to-depth stem (input_scale=2) — ~2x serving throughput at
+# equal quality; see UNetConfig.input_scale
+register(
+    ModelFamily("restore-unet", unet.init, unet.apply, unet.UNetConfig(input_scale=2))
+)
 register(
     ModelFamily(
         "restore-unet-small",

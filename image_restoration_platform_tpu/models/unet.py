@@ -48,6 +48,12 @@ class UNetConfig:
     # (T = 128*128 = 16k tokens) is ~4 GB — past HBM budget. 4096 tokens
     # (<=64x64 bottleneck, i.e. <=512px inputs at /8) stays ~256 MB.
     max_attn_tokens: int = 4096
+    # space-to-depth stem factor: the network runs at (H/s, W/s) with s^2 x
+    # channels and pixel-shuffles back at the head. s=2 quarters the spatial
+    # work of the full-res level — small-channel convs at 512px are heavily
+    # lane-underutilised on the MXU, so trading resolution for channels is
+    # nearly free in quality and ~2x in wall time.
+    input_scale: int = 1
 
 
 def _res_block_init(key, in_ch, out_ch, emb_dim):
@@ -82,10 +88,11 @@ def init(key: jax.Array, config: UNetConfig = UNetConfig()) -> dict:
     ch = [c.base_channels * m for m in c.channel_mults]
 
     cond_in = c.cond_dim + (c.emb_dim if c.time_conditioned else 0)
+    s2 = c.input_scale * c.input_scale
     params: dict = {
         "cond_mlp1": nn.dense_init(next(keys), cond_in, c.emb_dim),
         "cond_mlp2": nn.dense_init(next(keys), c.emb_dim, c.emb_dim),
-        "stem": nn.conv_init(next(keys), c.in_channels, ch[0]),
+        "stem": nn.conv_init(next(keys), c.in_channels * s2, ch[0]),
     }
 
     # encoder
@@ -126,10 +133,16 @@ def init(key: jax.Array, config: UNetConfig = UNetConfig()) -> dict:
     params["head_norm"] = nn.group_norm_init(ch[0])
     # zero-init head: the model starts as the identity restoration
     params["head"] = {
-        "w": jnp.zeros((3, 3, ch[0], c.out_channels), jnp.float32),
-        "b": jnp.zeros((c.out_channels,), jnp.float32),
+        "w": jnp.zeros((3, 3, ch[0], c.out_channels * s2), jnp.float32),
+        "b": jnp.zeros((c.out_channels * s2,), jnp.float32),
     }
     return params
+
+
+def _space_to_depth(x: jax.Array, s: int) -> jax.Array:
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // s, s, w // s, s, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // s, w // s, s * s * c)
 
 
 def apply(
@@ -158,7 +171,8 @@ def apply(
     emb = nn.silu(emb)
     emb = nn.dense(params["cond_mlp2"], emb)
 
-    h = nn.conv2d(params["stem"], x)
+    x_in = _space_to_depth(x, c.input_scale) if c.input_scale > 1 else x
+    h = nn.conv2d(params["stem"], x_in)
 
     skips = []
     for level, level_p in enumerate(params["enc"]):
@@ -187,4 +201,6 @@ def apply(
     h = nn.group_norm(params["head_norm"], h, c.norm_groups)
     h = nn.silu(h)
     residual = nn.conv2d(params["head"], h)
+    if c.input_scale > 1:
+        residual = nn.pixel_shuffle(residual, c.input_scale)
     return x + residual.astype(dtype)
