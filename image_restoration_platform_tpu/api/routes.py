@@ -475,6 +475,21 @@ async def admin_analytics(request: web.Request) -> web.Response:
     )
 
 
+async def admin_profile(request: web.Request) -> web.Response:
+    """Capture a jax.profiler device trace for N seconds (spec'd tracing
+    surface, SURVEY.md section 5); returns the trace directory path."""
+    _require_admin(request)
+    seconds = min(30.0, float(request.query.get("seconds", 3)))
+    trace_dir = f"/tmp/irp_profile_{int(time.time())}"
+
+    import jax
+
+    jax.profiler.start_trace(trace_dir)
+    await asyncio.sleep(seconds)
+    jax.profiler.stop_trace()
+    return web.json_response({"traceDir": trace_dir, "seconds": seconds})
+
+
 async def admin_replay(request: web.Request) -> web.Response:
     _require_admin(request)
     ctx: AppContext = request.app["ctx"]
@@ -525,6 +540,7 @@ def setup_routes(app: web.Application) -> None:
     app.router.add_post("/api/restore/single", restore_single)
     app.router.add_get("/v1/admin/analytics", admin_analytics)
     app.router.add_post("/v1/admin/jobs/{job_id}/replay", admin_replay)
+    app.router.add_post("/v1/admin/profile", admin_profile)
     app.router.add_post("/v1/admin/credits/grant", admin_grant)
 
     async def preflight(request: web.Request) -> web.Response:

@@ -27,6 +27,9 @@ def psnr(a, b):
 def evaluate(params, family_name, key, n=16, size=128):
     family = get_family(family_name)
     degraded, clean, cond = synthetic_batch(key, n, DataConfig(size=size))
+    if family_name == "diffusion-restore":
+        restored = family.apply(params, degraded, cond, key, family.config)
+        return psnr(degraded, clean), psnr(restored, clean)
     if family_name.startswith("sr-"):
         scale = family.config.scale
         b, h, w, c = degraded.shape

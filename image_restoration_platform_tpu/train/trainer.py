@@ -89,9 +89,36 @@ def make_train_step(cfg: TrainConfig, mesh=None):
         )
 
     is_sr = cfg.family.startswith("sr-")
+    is_diffusion = hasattr(model_cfg, "unet")  # DiffusionConfig
     sr_scale = getattr(model_cfg, "scale", 1)
 
-    def loss_fn(params, degraded, clean, cond):
+    def loss_fn(params, degraded, clean, cond, step=0):
+        if is_diffusion:
+            # epsilon-prediction: noise clean images, predict the noise,
+            # conditioned on the degradation profile of the paired degraded
+            # image (so serving-time SDEdit denoising is degradation-aware)
+            from ..models import diffusion as diff_mod
+
+            ucfg = model_cfg.unet
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 77), step)
+            k_t, k_eps = jax.random.split(key)
+            n = clean.shape[0]
+            x0 = clean * 2.0 - 1.0
+            t_frac = jax.random.uniform(k_t, (n,))
+            eps = jax.random.normal(k_eps, x0.shape)
+            xt = diff_mod.add_noise(x0, eps, t_frac)
+            t_vec = t_frac * model_cfg.timesteps
+            from ..models import unet as unet_mod
+
+            out = unet_mod.apply(
+                params,
+                xt.astype(cfg.compute_dtype),
+                cond.astype(cfg.compute_dtype),
+                t=t_vec,
+                config=ucfg,
+            )
+            eps_pred = out.astype(jnp.float32) - xt
+            return jnp.mean(jnp.square(eps_pred - eps))
         if is_sr:
             # SR pairs: low-res = box-downsampled *degraded* image (so the SR
             # net learns restoration + upscaling jointly), target = clean
@@ -113,7 +140,7 @@ def make_train_step(cfg: TrainConfig, mesh=None):
 
     def train_step(state, degraded, clean, cond):
         params, opt_state, step = state
-        loss, grads = jax.value_and_grad(loss_fn)(params, degraded, clean, cond)
+        loss, grads = jax.value_and_grad(loss_fn)(params, degraded, clean, cond, step)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, step + 1), loss
