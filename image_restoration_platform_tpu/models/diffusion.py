@@ -1,16 +1,18 @@
-"""Conditional diffusion restoration: DDIM sampling over the shared U-Net.
+"""Image-conditioned diffusion restoration (SR3-style) with DDIM sampling.
 
 The "diffusion U-Net" model family from the north star (BASELINE.json). Reuses
 models/unet.py with ``time_conditioned=True`` as the epsilon-predictor; the
-degradation conditioning vector steers restoration exactly as in the
-single-step model. Sampling is a ``jax.lax.scan`` over a static step count —
-one compiled program regardless of the number of steps, no Python loop in the
-hot path (XLA control-flow rule).
+degraded image rides along as 3 extra input channels every denoising step
+(SR3-style image conditioning — markedly stronger than an unconditional
+SDEdit prior), and the degradation score vector conditions via FiLM exactly
+as in the single-step model. Sampling is a ``jax.lax.scan`` over a static
+step count — one compiled program regardless of the number of steps, no
+Python loop in the hot path (XLA control-flow rule).
 
-The schedule is cosine alpha-bar (Nichol & Dhariwal); restoration runs
-SDEdit-style: the degraded image is noised to an intermediate timestep
-(strength in (0,1]) and denoised back, preserving content while removing
-degradations.
+The schedule is cosine alpha-bar (Nichol & Dhariwal). Restoration denoises
+from pure noise at ``strength=1.0`` (full generation conditioned on the
+degraded image) or from a noised copy of the degraded image for
+smaller strengths (SDEdit-style partial edit).
 """
 
 from __future__ import annotations
@@ -28,8 +30,13 @@ from . import unet
 class DiffusionConfig:
     timesteps: int = 1000
     sample_steps: int = 8
-    strength: float = 0.3       # SDEdit noising strength for restoration
-    unet: unet.UNetConfig = unet.UNetConfig(time_conditioned=True)
+    strength: float = 1.0       # 1.0 = denoise from pure noise (SR3); <1 = SDEdit
+    # x0-prediction: the model predicts the clean image directly and DDIM
+    # derives eps from it — markedly more PSNR-faithful than eps-prediction
+    # for restoration at low step counts
+    parameterization: str = "x0"
+    # in_channels = 3 (x_t) + 3 (degraded conditioning image)
+    unet: unet.UNetConfig = unet.UNetConfig(in_channels=6, time_conditioned=True)
 
 
 def alpha_bar(t_frac: jax.Array) -> jax.Array:
@@ -64,11 +71,11 @@ def restore(
     x [N,H,W,3] in [0,1]; returns the restored image, same shape/range.
     """
     c = config
-    # work in [-1, 1]
-    x0 = x * 2.0 - 1.0
-    noise = jax.random.normal(key, x0.shape, dtype=x0.dtype)
+    # work in [-1, 1]; the degraded image conditions every step
+    x_cond = x * 2.0 - 1.0
+    noise = jax.random.normal(key, x_cond.shape, dtype=x_cond.dtype)
     t_start = jnp.asarray(c.strength)
-    xt = add_noise(x0, noise, t_start)
+    xt = add_noise(x_cond, noise, t_start)
 
     # DDIM timestep ladder from strength -> 0 (static length => one executable)
     fracs = jnp.linspace(c.strength, 0.0, c.sample_steps + 1)
@@ -78,11 +85,19 @@ def restore(
         t_now = fracs[idx]
         t_next = fracs[idx + 1]
         t_vec = jnp.full((x.shape[0],), t_now * c.timesteps, dtype=jnp.float32)
-        eps = unet.apply(params, xt, cond, t=t_vec, config=c.unet) - xt  # residual head predicts x+res; recover eps-space
+        model_in = jnp.concatenate([xt, x_cond.astype(xt.dtype)], axis=-1)
+        out = unet.apply(params, model_in, cond, t=t_vec, config=c.unet)
         ab_now = alpha_bar(t_now)
         ab_next = alpha_bar(t_next)
-        x0_pred = (xt - jnp.sqrt(1.0 - ab_now) * eps) / jnp.sqrt(ab_now)
-        x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
+        if c.parameterization == "x0":
+            x0_pred = jnp.clip(out, -1.0, 1.0)
+            eps = (xt - jnp.sqrt(ab_now) * x0_pred) * jax.lax.rsqrt(
+                jnp.maximum(1.0 - ab_now, 1e-5)
+            )
+        else:  # eps-prediction: residual head output minus x_t
+            eps = out - xt
+            x0_pred = (xt - jnp.sqrt(1.0 - ab_now) * eps) / jnp.sqrt(ab_now)
+            x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
         xt_next = jnp.sqrt(ab_next) * x0_pred + jnp.sqrt(1.0 - ab_next) * eps
         return xt_next.astype(xt.dtype), None  # keep the scan carry dtype stable
 

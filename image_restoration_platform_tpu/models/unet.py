@@ -203,4 +203,8 @@ def apply(
     residual = nn.conv2d(params["head"], h)
     if c.input_scale > 1:
         residual = nn.pixel_shuffle(residual, c.input_scale)
-    return x + residual.astype(dtype)
+    # global residual over the first out_channels of the input — when the
+    # input carries extra conditioning channels (image-conditioned diffusion,
+    # in_channels > out_channels), the skip applies to the target slice only
+    base = x if x.shape[-1] == c.out_channels else x[..., : c.out_channels]
+    return base + residual.astype(dtype)

@@ -104,19 +104,23 @@ def make_train_step(cfg: TrainConfig, mesh=None):
             k_t, k_eps = jax.random.split(key)
             n = clean.shape[0]
             x0 = clean * 2.0 - 1.0
+            x_cond = degraded * 2.0 - 1.0  # SR3-style conditioning channels
             t_frac = jax.random.uniform(k_t, (n,))
             eps = jax.random.normal(k_eps, x0.shape)
             xt = diff_mod.add_noise(x0, eps, t_frac)
             t_vec = t_frac * model_cfg.timesteps
             from ..models import unet as unet_mod
 
+            model_in = jnp.concatenate([xt, x_cond], axis=-1)
             out = unet_mod.apply(
                 params,
-                xt.astype(cfg.compute_dtype),
+                model_in.astype(cfg.compute_dtype),
                 cond.astype(cfg.compute_dtype),
                 t=t_vec,
                 config=ucfg,
             )
+            if getattr(model_cfg, "parameterization", "eps") == "x0":
+                return jnp.mean(jnp.square(out.astype(jnp.float32) - x0))
             eps_pred = out.astype(jnp.float32) - xt
             return jnp.mean(jnp.square(eps_pred - eps))
         if is_sr:

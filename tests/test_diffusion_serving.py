@@ -15,8 +15,9 @@ def engine():
     # a tiny diffusion config so CPU compile stays fast
     cfg = diffusion.DiffusionConfig(
         sample_steps=2,
+        strength=0.3,
         unet=type(diffusion.DiffusionConfig().unet)(
-            base_channels=32, channel_mults=(1, 2), blocks_per_level=1,
+            in_channels=6, base_channels=32, channel_mults=(1, 2), blocks_per_level=1,
             attn_heads=2, time_conditioned=True,
         ),
     )
