@@ -162,6 +162,23 @@ class TestJobSubmission:
 
         run(ctx, check)
 
+    def test_polyglot_jpeg_rejected_422(self, ctx):
+        """Valid magic bytes but corrupt body: passes the sniff, must fail
+        preprocessing with a 422 problem (fuzz case from design.md:1248-1274)."""
+
+        async def check(client):
+            polyglot = b"\xff\xd8\xff\xe0" + bytes(range(256)) * 8
+            resp = await client.post(
+                "/v1/jobs",
+                data=form_for(polyglot, filename="x.jpg"),
+                headers={**AUTH, **idem()},
+            )
+            assert resp.status == 422
+            body = await resp.json()
+            assert body["title"] == "Image Preprocessing Failed"
+
+        run(ctx, check)
+
     def test_magic_byte_mismatch_415(self, ctx):
         async def check(client):
             resp = await client.post(
