@@ -55,7 +55,11 @@ def main() -> None:
         total_steps=steps,
     )
     ckpt_dir = os.environ.get("TRAIN_CKPT_DIR")
-    trainer = Trainer(cfg, checkpoint_dir=ckpt_dir)
+    trainer = Trainer(
+        cfg,
+        checkpoint_dir=ckpt_dir,
+        warm_start=os.environ.get("TRAIN_RESUME", "0") == "1",
+    )
 
     eval_key = jax.random.PRNGKey(999)
     base_psnr, init_psnr = evaluate(trainer.state[0], family, eval_key, size=cfg.image_size)

@@ -171,12 +171,31 @@ def make_train_step(cfg: TrainConfig, mesh=None):
 
 
 class Trainer:
-    def __init__(self, cfg: TrainConfig = TrainConfig(), mesh=None, checkpoint_dir: str | None = None):
+    def __init__(
+        self,
+        cfg: TrainConfig = TrainConfig(),
+        mesh=None,
+        checkpoint_dir: str | None = None,
+        warm_start: bool = False,
+    ):
         self.cfg = cfg
         self.mesh = mesh
         self.logger = get_logger("trainer")
         self.step_fn, self._init = make_train_step(cfg, mesh)
         self.state = self._init()
+        if warm_start:
+            # resume from the family's exported serving weights (fine-tuning
+            # at a different resolution or continuing a previous run)
+            import os
+
+            from ..models import weights as weights_mod
+
+            path = weights_mod.weights_path(cfg.family)
+            if os.path.exists(path):
+                params, opt_state, step = self.state
+                params = weights_mod.load_params(params, path)
+                self.state = (params, opt_state, step)
+                self.logger.info("warm-started from weights", {"path": path})
         self.checkpoint_dir = checkpoint_dir
         self._data_cfg = DataConfig(size=cfg.image_size)
 
