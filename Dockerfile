@@ -13,6 +13,8 @@ COPY bench.py __graft_entry__.py ./
 RUN pip install --no-cache-dir "jax[cpu]" optax orbax-checkpoint aiohttp pillow scipy \
     && make -C image_restoration_platform_tpu/imageio/csrc
 
-ENV PORT=8080 LOG_LEVEL=info ALLOW_DEGRADED=1
+# Fail-fast on missing secrets by default; set ALLOW_DEGRADED=1 explicitly
+# for local dev runs with in-memory fakes.
+ENV PORT=8080 LOG_LEVEL=info
 EXPOSE 8080
 CMD ["python", "-m", "image_restoration_platform_tpu.api"]

@@ -347,13 +347,21 @@ async def put_upload(request: web.Request) -> web.Response:
 
 # --------------------------------------------------------------- webhooks
 
+WEBHOOK_TIMESTAMP_TOLERANCE_S = 300  # reject signed events older/newer than 5 min
+WEBHOOK_EVENT_DEDUP_TTL_S = 24 * 3600
+
+
 async def stripe_webhook(request: web.Request) -> web.Response:
     """Stripe payment webhook: HMAC-verified credit grants.
 
     The reference requires STRIPE_WEBHOOK_SECRET at boot (secrets.js:1-8) and
     specs the purchase flow in its design docs; this implements the
     signature-verified grant: ``checkout.session.completed`` events credit
-    ``metadata.userId`` with ``metadata.credits``.
+    ``metadata.userId`` with ``metadata.credits``. Fail-closed: with no
+    configured secret the endpoint is unavailable (503) — unsigned grants are
+    never accepted. Signatures outside the timestamp tolerance are rejected,
+    and processed event ids are recorded so a captured webhook cannot be
+    replayed for repeated grants.
     """
     import hashlib
     import hmac
@@ -361,19 +369,30 @@ async def stripe_webhook(request: web.Request) -> web.Response:
 
     ctx: AppContext = request.app["ctx"]
     secret = os.environ.get("STRIPE_WEBHOOK_SECRET", "")
+    if not secret:
+        from ..problem import service_unavailable
+
+        raise service_unavailable(
+            "Webhook signing secret is not configured; refusing unsigned events."
+        )
     body = await request.read()
     signature = request.headers.get("Stripe-Signature", "")
 
-    if secret:
-        # stripe scheme: "t=<ts>,v1=<hmac_sha256(ts + '.' + body)>"
-        parts = dict(p.split("=", 1) for p in signature.split(",") if "=" in p)
-        expected = hmac.new(
-            secret.encode(), f"{parts.get('t', '')}.".encode() + body, hashlib.sha256
-        ).hexdigest()
-        if not hmac.compare_digest(expected, parts.get("v1", "")):
-            from ..problem import unauthorized as unauth
+    from ..problem import unauthorized as unauth
 
-            raise unauth("Invalid webhook signature.")
+    # stripe scheme: "t=<ts>,v1=<hmac_sha256(ts + '.' + body)>"
+    parts = dict(p.split("=", 1) for p in signature.split(",") if "=" in p)
+    expected = hmac.new(
+        secret.encode(), f"{parts.get('t', '')}.".encode() + body, hashlib.sha256
+    ).hexdigest()
+    if not hmac.compare_digest(expected, parts.get("v1", "")):
+        raise unauth("Invalid webhook signature.")
+    try:
+        timestamp = float(parts.get("t", ""))
+    except ValueError:
+        raise unauth("Invalid webhook timestamp.")
+    if abs(time.time() - timestamp) > WEBHOOK_TIMESTAMP_TOLERANCE_S:
+        raise unauth("Webhook timestamp outside tolerance.")
 
     try:
         event = json.loads(body)
@@ -383,6 +402,11 @@ async def stripe_webhook(request: web.Request) -> web.Response:
         raise upload_validation_failed("Malformed webhook payload.")
 
     if event.get("type") == "checkout.session.completed":
+        event_id = str(event.get("id") or hashlib.sha256(body).hexdigest())
+        if not ctx.store.set_if_absent(
+            f"webhook_event:{event_id}", 1, WEBHOOK_EVENT_DEDUP_TTL_S
+        ):
+            return web.json_response({"received": True, "duplicate": True})
         metadata = (event.get("data", {}).get("object", {}) or {}).get("metadata", {})
         user_id = metadata.get("userId")
         credits = int(metadata.get("credits", 0))
@@ -439,10 +463,16 @@ async def restore_single(request: web.Request) -> web.Response:
 # ------------------------------------------------------------------ admin
 
 def _require_admin(request: web.Request) -> None:
-    """Admin allowlist via ADMIN_USERS (comma-separated ids); open in dev
-    when unset, matching the reference's unshipped admin spec."""
+    """Admin allowlist via ADMIN_USERS (comma-separated ids). Fail-closed:
+    when no allowlist is configured, admin routes are denied outright unless
+    the operator explicitly opts into open-admin dev mode (ADMIN_DEV_OPEN=1,
+    never set in the shipped image)."""
     admins = os.environ.get("ADMIN_USERS", "")
-    if admins and request["user"]["id"] not in {a.strip() for a in admins.split(",")}:
+    if not admins:
+        if os.environ.get("ADMIN_DEV_OPEN") == "1":
+            return
+        raise forbidden("Admin access is not configured (set ADMIN_USERS).")
+    if request["user"]["id"] not in {a.strip() for a in admins.split(",")}:
         raise forbidden("Admin access required.")
 
 

@@ -35,12 +35,13 @@ def assert_required_secrets(env: dict | None = None, *, exit_on_missing: bool = 
     """Fail-fast startup gate (reference: config/secrets.js:17-38).
 
     Returns the list of missing secrets; exits the process when
-    ``exit_on_missing`` and anything is missing, unless ``ALLOW_DEGRADED=1``
-    (our dev/TPU-bench mode, where all external clients run as local fakes).
+    ``exit_on_missing`` and anything is missing. ``ALLOW_DEGRADED=1`` is an
+    explicit dev/TPU-bench opt-out (all external clients run as local fakes);
+    the default is fail-fast, matching the reference's secrets.js gate.
     """
     env = env if env is not None else os.environ
     missing = [k for k in REQUIRED_SECRETS if not env.get(k)]
-    if missing and env.get("ALLOW_DEGRADED", "1") != "1" and exit_on_missing:
+    if missing and env.get("ALLOW_DEGRADED", "0") != "1" and exit_on_missing:
         print(
             f"[secrets] Missing required secrets: {', '.join(missing)}. "
             "Set them in the environment (the reference injects them via Doppler).",

@@ -156,6 +156,19 @@ def _apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
     return img
 
 
+# Decompression-bomb guard: a <10 MB container can declare arbitrarily large
+# dimensions (the header drives the output allocation, not the payload). The
+# reference's sharp/libvips enforces an input pixel limit the same way.
+MAX_INPUT_PIXELS = int(os.environ.get("IMAGEIO_MAX_INPUT_PIXELS", 64 * 1024 * 1024))
+
+
+def _check_pixel_budget(width: int, height: int) -> None:
+    if width <= 0 or height <= 0 or width * height > MAX_INPUT_PIXELS:
+        raise ValueError(
+            f"image dimensions {width}x{height} exceed the {MAX_INPUT_PIXELS}-pixel input limit"
+        )
+
+
 def decode_image(data: bytes, auto_orient: bool = True) -> DecodedImage:
     """Decode JPEG/PNG/WebP bytes to an RGB8 array, applying EXIF orientation."""
     lib = _load_native()
@@ -169,6 +182,7 @@ def decode_image(data: bytes, auto_orient: bool = True) -> DecodedImage:
         )
         if fmt_code <= 0:
             raise ValueError("unsupported or corrupt image data")
+        _check_pixel_budget(w.value, h.value)
         out = np.empty((h.value, w.value, 3), dtype=np.uint8)
         rc = lib.irp_decode(data, len(data), out.ctypes.data_as(ctypes.c_void_p), w.value, h.value)
         if rc != 0:
@@ -193,6 +207,7 @@ def _decode_pillow(data: bytes, auto_orient: bool) -> DecodedImage:  # pragma: n
     if fmt is None:
         raise ValueError("unsupported or corrupt image data")
     with Image.open(io.BytesIO(data)) as im:
+        _check_pixel_budget(im.width, im.height)
         orientation = 1
         try:
             orientation = int(im.getexif().get(0x0112, 1))

@@ -210,3 +210,12 @@ def internal_error() -> Problem:
         status=500,
         detail="An unexpected error occurred.",
     )
+
+
+def service_unavailable(detail: str = "Service temporarily unavailable.") -> Problem:
+    return Problem(
+        type=f"{_DOCS}/service-unavailable",
+        title="Service Unavailable",
+        status=503,
+        detail=detail,
+    )

@@ -67,6 +67,15 @@ class MemoryStore:
         with self._lock:
             self._kv.pop(key, None)
 
+    def set_if_absent(self, key: str, value: Any, ttl_seconds: float | None = None) -> bool:
+        """Atomic SET NX (redis SET key value NX EX ttl). Returns True when the
+        key was set, False when it already existed — used for event dedup."""
+        with self._lock:
+            if self._live(key):
+                return False
+            self.set(key, value, ttl_seconds)
+            return True
+
     def incr(self, key: str) -> int:
         return self.incr_by(key, 1)
 

@@ -245,7 +245,7 @@ class Trainer:
         with ocp.StandardCheckpointer() as ckpt:
             ckpt.save(
                 f"{path}/step_{int(step)}",
-                {"params": params, "step": np.asarray(step)},
+                {"params": params, "opt_state": opt_state, "step": np.asarray(step)},
                 force=True,
             )
         return f"{path}/step_{int(step)}"
@@ -256,3 +256,14 @@ class Trainer:
         with ocp.StandardCheckpointer() as ckpt:
             restored = ckpt.restore(path)
         return restored["params"]
+
+    def resume_checkpoint(self, path: str) -> None:
+        """Restore params + optimizer moments + step so continued training
+        keeps its Adam state and schedule position."""
+        import orbax.checkpoint as ocp
+
+        params, opt_state, _step = self.state
+        template = {"params": params, "opt_state": opt_state, "step": np.asarray(0)}
+        with ocp.StandardCheckpointer() as ckpt:
+            restored = ckpt.restore(path, template)
+        self.state = (restored["params"], restored["opt_state"], int(restored["step"]))

@@ -394,25 +394,32 @@ class TestMetricsAndDownload:
 
 
 class TestStripeWebhook:
-    def test_signed_grant(self, ctx, monkeypatch):
+    @staticmethod
+    def _sign(event: bytes, ts: float, secret: bytes = b"whsec_test") -> str:
         import hashlib
         import hmac as hmac_mod
+
+        sig = hmac_mod.new(secret, f"{ts}.".encode() + event, hashlib.sha256).hexdigest()
+        return f"t={ts},v1={sig}"
+
+    def test_signed_grant(self, ctx, monkeypatch):
+        import time as time_mod
 
         monkeypatch.setenv("STRIPE_WEBHOOK_SECRET", "whsec_test")
 
         async def check(client):
             event = json.dumps(
                 {
+                    "id": "evt_grant_1",
                     "type": "checkout.session.completed",
                     "data": {"object": {"metadata": {"userId": "buyer", "credits": "25"}}},
                 }
             ).encode()
-            ts = "12345"
-            sig = hmac_mod.new(b"whsec_test", f"{ts}.".encode() + event, hashlib.sha256).hexdigest()
+            ts = time_mod.time()
             resp = await client.post(
                 "/v1/webhooks/stripe",
                 data=event,
-                headers={"Stripe-Signature": f"t={ts},v1={sig}"},
+                headers={"Stripe-Signature": self._sign(event, ts)},
             )
             assert resp.status == 200
             assert (await resp.json())["credits"] == 25
@@ -431,6 +438,66 @@ class TestStripeWebhook:
                 headers={"Stripe-Signature": f"t={ts},v1={'0'*64}"},
             )
             assert resp.status == 401
+
+            # replayed (signed, but same event id): no second grant
+            resp = await client.post(
+                "/v1/webhooks/stripe",
+                data=event,
+                headers={"Stripe-Signature": self._sign(event, ts)},
+            )
+            assert resp.status == 200
+            assert (await resp.json()).get("duplicate") is True
+            balance = await (
+                await client.get(
+                    "/v1/credits/balance", headers={"Authorization": "Bearer dev-user-buyer"}
+                )
+            ).json()
+            assert balance["paidCredits"] == 25
+
+        run(ctx, check)
+
+    def test_stale_timestamp_rejected(self, ctx, monkeypatch):
+        import time as time_mod
+
+        monkeypatch.setenv("STRIPE_WEBHOOK_SECRET", "whsec_test")
+
+        async def check(client):
+            event = json.dumps(
+                {
+                    "id": "evt_stale",
+                    "type": "checkout.session.completed",
+                    "data": {"object": {"metadata": {"userId": "buyer2", "credits": "5"}}},
+                }
+            ).encode()
+            ts = time_mod.time() - 3600  # far outside the 5-minute tolerance
+            resp = await client.post(
+                "/v1/webhooks/stripe",
+                data=event,
+                headers={"Stripe-Signature": self._sign(event, ts)},
+            )
+            assert resp.status == 401
+
+        run(ctx, check)
+
+    def test_unconfigured_secret_rejected(self, ctx, monkeypatch):
+        monkeypatch.delenv("STRIPE_WEBHOOK_SECRET", raising=False)
+
+        async def check(client):
+            event = json.dumps(
+                {
+                    "type": "checkout.session.completed",
+                    "data": {"object": {"metadata": {"userId": "freeloader", "credits": "999"}}},
+                }
+            ).encode()
+            resp = await client.post("/v1/webhooks/stripe", data=event)
+            assert resp.status == 503
+            balance = await (
+                await client.get(
+                    "/v1/credits/balance",
+                    headers={"Authorization": "Bearer dev-user-freeloader"},
+                )
+            ).json()
+            assert balance["paidCredits"] == 0
 
         run(ctx, check)
 
@@ -453,13 +520,41 @@ class TestRestoreSingleAlias:
 
 
 class TestAdmin:
-    def test_analytics(self, ctx):
+    def test_analytics(self, ctx, monkeypatch):
+        monkeypatch.setenv("ADMIN_USERS", "alice")
+
         async def check(client):
             resp = await client.get("/v1/admin/analytics", headers=AUTH)
             assert resp.status == 200
             body = await resp.json()
             assert "credits" in body and "serving" in body and "queue" in body
             assert body["tpu"]["deviceSecondsTotal"] >= 0
+
+        run(ctx, check)
+
+    def test_admin_fail_closed_when_unconfigured(self, ctx, monkeypatch):
+        monkeypatch.delenv("ADMIN_USERS", raising=False)
+        monkeypatch.delenv("ADMIN_DEV_OPEN", raising=False)
+
+        async def check(client):
+            resp = await client.get("/v1/admin/analytics", headers=AUTH)
+            assert resp.status == 403
+            resp = await client.post(
+                "/v1/admin/credits/grant",
+                json={"userId": "alice", "amount": 5},
+                headers={**AUTH, **idem()},
+            )
+            assert resp.status == 403
+
+        run(ctx, check)
+
+    def test_admin_dev_open_flag(self, ctx, monkeypatch):
+        monkeypatch.delenv("ADMIN_USERS", raising=False)
+        monkeypatch.setenv("ADMIN_DEV_OPEN", "1")
+
+        async def check(client):
+            resp = await client.get("/v1/admin/analytics", headers=AUTH)
+            assert resp.status == 200
 
         run(ctx, check)
 
@@ -476,7 +571,9 @@ class TestAdmin:
 
         run(ctx, check)
 
-    def test_grant_credits(self, ctx):
+    def test_grant_credits(self, ctx, monkeypatch):
+        monkeypatch.setenv("ADMIN_USERS", "alice")
+
         async def check(client):
             resp = await client.post(
                 "/v1/admin/credits/grant",

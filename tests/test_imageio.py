@@ -116,3 +116,35 @@ def test_truncated_jpeg_does_not_crash(rgb):
         assert decoded.pixels.shape[2] == 3
     except ValueError:
         pass
+
+
+def test_decompression_bomb_rejected(rgb):
+    """A small container declaring huge dimensions must be rejected before the
+    output buffer is allocated (ADVICE: header-driven multi-GB allocation)."""
+    import struct
+    import zlib
+
+    png = bytes(imageio.encode_png(rgb))
+    # patch IHDR width/height to 60000x60000 (3.6 GP) and fix the chunk CRC
+    ihdr_start = png.index(b"IHDR")
+    patched = bytearray(png)
+    patched[ihdr_start + 4 : ihdr_start + 12] = struct.pack(">II", 60000, 60000)
+    crc = zlib.crc32(bytes(patched[ihdr_start : ihdr_start + 17]))
+    patched[ihdr_start + 17 : ihdr_start + 21] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="pixel"):
+        imageio.decode_image(bytes(patched))
+
+
+def test_zero_dimension_rejected():
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(7)
+    png = bytes(imageio.encode_png(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
+    ihdr_start = png.index(b"IHDR")
+    patched = bytearray(png)
+    patched[ihdr_start + 4 : ihdr_start + 12] = struct.pack(">II", 0, 8)
+    crc = zlib.crc32(bytes(patched[ihdr_start : ihdr_start + 17]))
+    patched[ihdr_start + 17 : ihdr_start + 21] = struct.pack(">I", crc)
+    with pytest.raises(ValueError):
+        imageio.decode_image(bytes(patched))
