@@ -27,6 +27,14 @@ from .routes import setup_routes
 _log = get_logger("server")
 
 
+def _env_verifier():
+    """Real JWT/JWKS verifier when AUTH_JWKS_* is configured; None keeps the
+    dev mock token scheme (firebaseAuth.js fallback semantics)."""
+    from .auth import create_verifier_from_env
+
+    return create_verifier_from_env()
+
+
 def create_app(ctx: AppContext | None = None, config: Config | None = None) -> web.Application:
     config = config or load_config()
     ctx = ctx or AppContext(config=config)
@@ -38,7 +46,7 @@ def create_app(ctx: AppContext | None = None, config: Config | None = None) -> w
             timing_middleware,
             error_middleware,          # inside request-context so problems echo X-Request-Id
             security_headers_middleware,
-            auth_middleware_factory(ctx),
+            auth_middleware_factory(ctx, verifier=_env_verifier()),
             rate_limit_middleware_factory(ctx),
             idempotency_middleware_factory(ctx),
         ],

@@ -22,6 +22,7 @@ from ..serve import (
     Ledger,
     MemoryStore,
     MicroBatcher,
+    create_store,
     ModerationService,
     RateLimiter,
     RestorationEngine,
@@ -56,11 +57,12 @@ class AppContext:
     ):
         self.config = config or load_config()
         self.logger = get_logger("app")
-        self.store = MemoryStore()
+        self.store = create_store()
         self.rate_limiter = RateLimiter(self.store, self.config.rate_limit)
         self.idempotency = IdempotencyService(self.store)
-        self.user_store = DurableUserStore()
-        self.ledger = Ledger()
+        from ..serve.durable import create_durable_tier
+
+        self.user_store, self.ledger = create_durable_tier()
         self.credits = CreditsService(
             store=self.store,
             user_store=self.user_store,

@@ -51,10 +51,14 @@ async def health_ready(request: web.Request) -> web.Response:
     ctx: AppContext = request.app["ctx"]
     dependencies = {}
 
-    store_info = {"status": "ok", "mode": ctx.store.get_mode()}
-    if ctx.store.get_mode() == "memory":
+    mode = ctx.store.get_mode()
+    store_info = {"status": "ok", "mode": mode}
+    if mode == "memory":
         store_info["status"] = "degraded"
         store_info["reason"] = "using in-memory store (single-controller mode)"
+    elif mode == "memory-fallback":
+        store_info["status"] = "degraded"
+        store_info["reason"] = "redis unavailable; degraded to in-memory fallback"
     dependencies["store"] = store_info
 
     try:

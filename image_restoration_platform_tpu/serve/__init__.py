@@ -1,4 +1,6 @@
 from .store import MemoryStore, create_store
+from .redis_store import RedisStore
+from .durable import SqliteLedger, SqliteUserStore, create_durable_tier
 from .ratelimit import RateLimiter
 from .idempotency import IdempotencyService, payload_hash
 from .credits import CreditsService, DurableUserStore, Ledger
@@ -12,6 +14,10 @@ from .queue import JobQueue
 __all__ = [
     "MemoryStore",
     "create_store",
+    "RedisStore",
+    "SqliteUserStore",
+    "SqliteLedger",
+    "create_durable_tier",
     "RateLimiter",
     "IdempotencyService",
     "payload_hash",

@@ -225,6 +225,10 @@ class CreditsService:
         return {"success": False, "reason": "No free credits to refund"}
 
     def _refund_paid(self, user_id: str, amount: int) -> dict:
+        # seed the cache from the durable tier first: a cold cache (fresh
+        # process) would otherwise refund against an implicit 0 balance and
+        # clobber the durable value on write-behind
+        self._load_balance_into_cache(user_id)
         new_balance = self.store.incr_by(self._cache_key(user_id), amount)
         self.store.expire(self._cache_key(user_id), self.config.cache_ttl_seconds)
         try:

@@ -157,7 +157,19 @@ class MemoryStore:
         return False
 
 
-def create_store() -> MemoryStore:
-    """Store factory. REDIS_URL-backed stores would be constructed here; in
-    this environment the in-memory store is authoritative (single controller)."""
+def create_store():
+    """Store factory: REDIS_URL selects the networked Redis backend (with the
+    runtime memory-fallback flip); otherwise the in-memory store is
+    authoritative (single-controller mode)."""
+    import os
+
+    url = os.environ.get("REDIS_URL")
+    if url:
+        from .redis_store import RedisStore
+
+        store = RedisStore(url)
+        if not store.ping():
+            # stays usable via its internal fallback; readiness reports the flip
+            pass
+        return store
     return MemoryStore()

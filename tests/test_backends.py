@@ -1,0 +1,313 @@
+"""External-backend adapters: networked Redis store (with the runtime
+memory-fallback flip), SQLite durable user/ledger tier (restart survival),
+and JWT/JWKS auth verification.
+
+These cover VERDICT round-1 gaps: the reference runs real Redis Lua atomics
+(redisClient.js:130-232), Firestore write-behind persistence
+(credits.js:449-509), and real Firebase ID-token verification
+(firebaseAuth.js:7-41)."""
+
+from __future__ import annotations
+
+import base64
+import json
+import time
+
+import pytest
+
+from image_restoration_platform_tpu.serve.credits import CreditsService
+from image_restoration_platform_tpu.serve.durable import (
+    SqliteBackend,
+    SqliteLedger,
+    SqliteUserStore,
+)
+from image_restoration_platform_tpu.serve.redis_store import RedisStore, RespClient
+from image_restoration_platform_tpu.serve.store import MemoryStore
+
+from fake_redis import FakeRedisServer
+
+
+# ------------------------------------------------------- store contract suite
+
+
+@pytest.fixture(params=["memory", "redis"])
+def store(request):
+    if request.param == "memory":
+        yield MemoryStore()
+        return
+    server = FakeRedisServer()
+    store = RedisStore(client=RespClient("127.0.0.1", server.port, timeout=2.0))
+    assert store.ping(), "fake redis server should be reachable"
+    yield store
+    server.stop()
+
+
+class TestStoreContract:
+    def test_kv_roundtrip_types(self, store):
+        store.set("int", 42)
+        store.set("str", "hello")
+        store.set("bytes", b"\x00\xffbinary")
+        store.set("dict", {"a": 1, "body": b"payload", "nested": {"x": [1, 2]}})
+        assert store.get("int") == 42
+        assert store.get("str") == "hello"
+        assert store.get("bytes") == b"\x00\xffbinary"
+        got = store.get("dict")
+        assert got["a"] == 1 and got["body"] == b"payload" and got["nested"]["x"] == [1, 2]
+        assert store.get("missing") is None
+
+    def test_ttl_expiry(self, store):
+        store.set("ephemeral", 1, ttl_seconds=0.15)
+        assert store.get("ephemeral") == 1
+        time.sleep(0.3)
+        assert store.get("ephemeral") is None
+
+    def test_set_if_absent(self, store):
+        assert store.set_if_absent("nx", "first", 60) is True
+        assert store.set_if_absent("nx", "second", 60) is False
+        assert store.get("nx") == "first"
+
+    def test_incr_decr(self, store):
+        assert store.incr("counter") == 1
+        assert store.incr_by("counter", 5) == 6
+        assert store.decr("counter") == 5
+
+    def test_incr_with_limit(self, store):
+        assert store.incr_with_limit("free", 3, 60) == 1
+        assert store.incr_with_limit("free", 3, 60) == 2
+        assert store.incr_with_limit("free", 3, 60) == 3
+        assert store.incr_with_limit("free", 3, 60) == 0  # limit reached
+
+    def test_check_and_decrement(self, store):
+        store.set("balance", 2)
+        ok, balance = store.check_and_decrement("balance", 1, 60)
+        assert ok and balance == 1
+        ok, balance = store.check_and_decrement("balance", 5, 60)
+        assert not ok and balance == 1
+
+    def test_token_bucket(self, store):
+        for i in range(3):
+            result = store.take("bucket", 3, 60)
+            assert result.allowed and result.remaining == 2 - i
+        result = store.take("bucket", 3, 60)
+        assert not result.allowed and result.remaining == 0
+        assert result.reset_ms > time.time() * 1000
+
+    def test_idempotency_records(self, store):
+        record = {"status": 202, "body": b"{}", "fingerprint": "abc"}
+        store.set_idempotency("key-1", record, 60)
+        got = store.get_idempotency("key-1")
+        assert got["status"] == 202 and got["body"] == b"{}"
+        assert store.get_idempotency("other") is None
+
+    def test_credits_service_over_store(self, store):
+        """The full credits contract (free-before-paid, overdraft, refund)
+        must hold on both backends."""
+        service = CreditsService(store=store)
+        service.users.set_credits("u1", 2)
+        # 3 free then paid
+        for i in range(3):
+            decision = service.check_and_deduct("u1", 1, f"job-{i}")
+            assert decision["allowed"] and decision["type"] == "free"
+        decision = service.check_and_deduct("u1", 1, "job-3")
+        assert decision["allowed"] and decision["type"] == "paid"
+        assert decision["remainingCredits"] == 1
+        # refund the paid job restores the balance
+        assert service.refund("u1", "job-3")["success"]
+        assert service.get_balance("u1")["paidCredits"] == 2
+
+
+class TestRedisFallbackFlip:
+    def test_runtime_degradation(self):
+        """redisClient.js:228-232 semantics: a dead server flips the store to
+        the in-memory replica; operations keep working; mode is reported."""
+        server = FakeRedisServer()
+        store = RedisStore(client=RespClient("127.0.0.1", server.port, timeout=0.5))
+        store.set("before", 1)
+        assert store.get("before") == 1
+        assert store.get_mode() == "redis" and not store.is_fallback()
+
+        server.stop()
+        time.sleep(0.05)
+        # next op flips to fallback instead of raising
+        store.set("after", 2)
+        assert store.get_mode() == "memory-fallback" and store.is_fallback()
+        assert store.get("after") == 2
+        assert store.incr("counter") == 1
+        assert store.take("bucket", 5, 60).allowed
+        assert store.ping() is False
+
+    def test_initial_connect_failure(self):
+        store = RedisStore("redis://127.0.0.1:1/0", timeout=0.3)
+        assert store.ping() is False
+        store.set("k", "v")
+        assert store.get("k") == "v"
+        assert store.is_fallback()
+
+
+# ------------------------------------------------------------- durable tier
+
+
+class TestSqliteDurableTier:
+    def test_restart_survival(self, tmp_path):
+        """VERDICT item 6 'done' criterion: grant -> deduct -> restart ->
+        balance and ledger intact."""
+        db = str(tmp_path / "durable.db")
+
+        backend = SqliteBackend(db)
+        users, ledger = SqliteUserStore(backend), SqliteLedger(backend)
+        service = CreditsService(user_store=users, ledger=ledger)
+        users.grant("alice", 10)
+        # exhaust free tier, then two paid deductions
+        for i in range(5):
+            assert service.check_and_deduct("alice", 1, f"job-{i}")["allowed"]
+        assert users.get_credits("alice") == 8
+        entries_before = ledger.entries()
+        assert len(entries_before) == 5
+        backend.close()
+
+        # simulated restart: fresh connection, fresh cache/service
+        backend2 = SqliteBackend(db)
+        users2, ledger2 = SqliteUserStore(backend2), SqliteLedger(backend2)
+        service2 = CreditsService(user_store=users2, ledger=ledger2)
+        assert users2.get_credits("alice") == 8
+        assert len(ledger2.entries()) == 5
+        # refund by jobId still finds the original deduction post-restart
+        assert service2.refund("alice", "job-4")["success"]
+        assert users2.get_credits("alice") == 9
+        refunds = [e for e in ledger2.entries() if e["type"] == "refund"]
+        assert refunds and refunds[0]["originalTransactionId"]
+        backend2.close()
+
+    def test_find_deduction_ordering(self, tmp_path):
+        backend = SqliteBackend(str(tmp_path / "ledger.db"))
+        ledger = SqliteLedger(backend)
+        ledger.add({"userId": "u", "jobId": "j1", "amount": -1, "type": "free"})
+        ledger.add({"userId": "u", "jobId": "j1", "amount": 1, "type": "refund"})
+        found = ledger.find_deduction_by_job("j1")
+        assert found["amount"] == -1 and found["type"] == "free"
+        assert ledger.find_deduction_by_job("nope") is None
+        backend.close()
+
+
+# ---------------------------------------------------------------- JWT auth
+
+
+def _b64url(data: bytes) -> str:
+    return base64.urlsafe_b64encode(data).rstrip(b"=").decode()
+
+
+def _make_rsa_keypair():
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    numbers = key.public_key().public_numbers()
+
+    def int_b64(n, length=None):
+        raw = n.to_bytes((n.bit_length() + 7) // 8, "big")
+        return _b64url(raw)
+
+    jwk = {
+        "kty": "RSA",
+        "kid": "test-key-1",
+        "alg": "RS256",
+        "use": "sig",
+        "n": int_b64(numbers.n),
+        "e": int_b64(numbers.e),
+    }
+    return key, {"keys": [jwk]}
+
+
+def _sign_jwt(key, claims: dict, kid: str = "test-key-1") -> str:
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    header = {"alg": "RS256", "typ": "JWT", "kid": kid}
+    signing_input = f"{_b64url(json.dumps(header).encode())}.{_b64url(json.dumps(claims).encode())}"
+    sig = key.sign(signing_input.encode(), padding.PKCS1v15(), hashes.SHA256())
+    return f"{signing_input}.{_b64url(sig)}"
+
+
+class TestJwksVerifier:
+    @pytest.fixture(scope="class")
+    def keypair(self):
+        return _make_rsa_keypair()
+
+    def _verifier(self, keypair, **kwargs):
+        from image_restoration_platform_tpu.api.auth import JwksVerifier
+
+        _, jwks = keypair
+        return JwksVerifier(jwks, issuer="https://issuer.test", audience="irp", **kwargs)
+
+    def _claims(self, **overrides):
+        claims = {
+            "sub": "user-42",
+            "email": "user42@example.test",
+            "iss": "https://issuer.test",
+            "aud": "irp",
+            "exp": time.time() + 3600,
+        }
+        claims.update(overrides)
+        return claims
+
+    def test_valid_token(self, keypair):
+        key, _ = keypair
+        verifier = self._verifier(keypair)
+        user = verifier(_sign_jwt(key, self._claims()))
+        assert user["id"] == "user-42" and user["tokenSource"] == "jwt"
+        assert user["email"] == "user42@example.test"
+
+    def test_tampered_payload_rejected(self, keypair):
+        key, _ = keypair
+        verifier = self._verifier(keypair)
+        token = _sign_jwt(key, self._claims())
+        h, p, s = token.split(".")
+        evil = _b64url(json.dumps(self._claims(sub="attacker")).encode())
+        assert verifier(f"{h}.{evil}.{s}") is None
+
+    def test_expired_rejected(self, keypair):
+        key, _ = keypair
+        verifier = self._verifier(keypair)
+        assert verifier(_sign_jwt(key, self._claims(exp=time.time() - 7200))) is None
+
+    def test_wrong_issuer_audience(self, keypair):
+        key, _ = keypair
+        verifier = self._verifier(keypair)
+        assert verifier(_sign_jwt(key, self._claims(iss="https://evil.test"))) is None
+        assert verifier(_sign_jwt(key, self._claims(aud="other-app"))) is None
+
+    def test_unknown_kid_rejected(self, keypair):
+        key, _ = keypair
+        verifier = self._verifier(keypair)
+        # two keys installed -> no kid match and no single-key fallback
+        verifier._keys["second"] = dict(verifier._keys["test-key-1"], kid="second")
+        assert verifier(_sign_jwt(key, self._claims(), kid="missing")) is None
+
+    def test_alg_none_rejected(self, keypair):
+        verifier = self._verifier(keypair)
+        header = _b64url(json.dumps({"alg": "none", "typ": "JWT"}).encode())
+        payload = _b64url(json.dumps(self._claims()).encode())
+        assert verifier(f"{header}.{payload}.") is None
+
+    def test_mock_tokens_only_when_enabled(self, keypair):
+        strict = self._verifier(keypair)
+        assert strict("dev-user-bob") is None
+        devmode = self._verifier(keypair, allow_mock=True)
+        assert devmode("dev-user-bob")["id"] == "bob"
+
+    def test_jwks_file_and_middleware_wiring(self, keypair, tmp_path, monkeypatch):
+        """End-to-end: JWKS from file via AUTH_* env -> auth middleware 401s
+        mock tokens and accepts signed JWTs."""
+        key, jwks = keypair
+        jwks_file = tmp_path / "jwks.json"
+        jwks_file.write_text(json.dumps(jwks))
+        monkeypatch.setenv("AUTH_JWKS_PATH", str(jwks_file))
+        monkeypatch.setenv("AUTH_ISSUER", "https://issuer.test")
+        monkeypatch.setenv("AUTH_AUDIENCE", "irp")
+        monkeypatch.delenv("AUTH_ALLOW_MOCK", raising=False)
+
+        from image_restoration_platform_tpu.api.auth import create_verifier_from_env
+
+        verifier = create_verifier_from_env()
+        assert verifier is not None
+        assert verifier("dev-user-bob") is None
+        assert verifier(_sign_jwt(key, self._claims()))["id"] == "user-42"
