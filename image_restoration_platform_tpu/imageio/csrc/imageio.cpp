@@ -236,7 +236,7 @@ static size_t build_srgb_icc(uint8_t** out_buf) {
   const int CURVE_N = 1024;
   struct Tag { const char* sig; uint32_t off, size; };
   // layout: header(128) + tagtable
-  const int NTAGS = 6;
+  const int NTAGS = 8;
   size_t tagtable = 4 + NTAGS * 12;
   size_t desc_size = 12 + 67 + 11 + 12;     // textDescriptionType, padded
   desc_size = (desc_size + 3) & ~3u;
@@ -281,10 +281,11 @@ static size_t build_srgb_icc(uint8_t** out_buf) {
   wtag("gXYZ", gxyz_off, xyz_size);
   wtag("bXYZ", bxyz_off, xyz_size);
   wtag("rTRC", trc_off, curv_size);
-  // share one curve for all channels (sRGB uses identical TRCs)
-  // NOTE: ICC permits tag offsets to alias; g/b TRC point at the same data.
-  // We only wrote 6 slots; add gTRC/bTRC aliased would need 8 tags. Keep 6 and
-  // rely on rTRC; most parsers accept matrix+single TRC for identification.
+  // ICC permits tag offsets to alias: g/b TRC point at the same curve data
+  // (sRGB uses identical TRCs per channel), so strict CMSes see all three
+  // required TRC tags.
+  wtag("gTRC", trc_off, curv_size);
+  wtag("bTRC", trc_off, curv_size);
 
   auto put_xyz = [&](size_t off, double X, double Y, double Z) {
     memcpy(p + off, "XYZ ", 4);

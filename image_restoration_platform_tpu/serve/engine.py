@@ -496,10 +496,20 @@ class RestorationEngine:
         self,
         family_name: str = "restore-unet",
         sizes: tuple[int, ...] | None = None,
-        batches: tuple[int, ...] = (1,),
+        batches: tuple[int, ...] | None = None,
     ) -> float:
-        """AOT-style compile warmup for the serving buckets; returns seconds."""
+        """AOT-style compile warmup for the serving buckets; returns seconds.
+
+        Defaults to every power-of-two batch bucket up to the configured
+        max_batch — a warm start that only covered b1 would still pay a
+        compile on the first batched burst per size."""
         sizes = sizes or self.config.size_buckets
+        if batches is None:
+            batches, b = [], 1
+            while b <= self.config.max_batch:
+                batches.append(b)
+                b *= 2
+            batches = tuple(batches)
         t0 = time.perf_counter()
         for size in sizes:
             for batch in batches:

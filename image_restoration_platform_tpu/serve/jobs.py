@@ -73,21 +73,36 @@ class JobStore:
     with the spec'd retention policy (jobQueue.js keep 100 completed / 500
     failed)."""
 
-    def __init__(self, keep_completed: int = 100, keep_failed: int = 500):
+    def __init__(self, keep_completed: int = 100, keep_failed: int = 500,
+                 result_retention_s: float | None = None, clock=time.time):
         self._jobs: dict[str, Job] = {}
         self._order: list[str] = []
         self._lock = threading.Condition()
         self._keep_completed = keep_completed
         self._keep_failed = keep_failed
+        # result-retention lifecycle, the GCS 30-day restored-object rule
+        # (gcsClient.js:26-42): restored image payloads are dropped after the
+        # TTL while job metadata stays queryable
+        if result_retention_s is None:
+            import os
+
+            result_retention_s = float(
+                os.environ.get("JOBS_RESULT_RETENTION_S", 30 * 24 * 3600)
+            )
+        self._result_retention_s = result_retention_s
+        self._clock = clock
 
     def create(self, user_id: str, payload: dict, request_id: str | None = None,
                traceparent: str | None = None) -> Job:
+        now = self._clock()
         job = Job(
             id=str(uuid.uuid4()),
             user_id=user_id,
             payload=payload,
             request_id=request_id,
             traceparent=traceparent,
+            created_at=now,
+            updated_at=now,
         )
         with self._lock:
             self._jobs[job.id] = job
@@ -96,6 +111,7 @@ class JobStore:
 
     def get(self, job_id: str) -> Job | None:
         with self._lock:
+            self._expire_results_locked()
             return self._jobs.get(job_id)
 
     def transition(self, job_id: str, state: JobState, **updates) -> Job:
@@ -104,7 +120,7 @@ class JobStore:
             if state is not job.state and state not in _TRANSITIONS[job.state]:
                 raise ValueError(f"illegal transition {job.state.value} -> {state.value}")
             job.state = state
-            job.updated_at = time.time()
+            job.updated_at = self._clock()
             job.version += 1
             for key, value in updates.items():
                 setattr(job, key, value)
@@ -133,6 +149,32 @@ class JobStore:
     def dead_letter_jobs(self) -> list[Job]:
         with self._lock:
             return [j for j in self._jobs.values() if j.state is JobState.DEAD_LETTER]
+
+    def purge_expired_results(self) -> int:
+        """Drop restored-image payloads past the retention TTL; returns the
+        number of purged results. Called lazily from get() and periodically
+        by the queue workers."""
+        with self._lock:
+            return self._expire_results_locked()
+
+    def _expire_results_locked(self) -> int:
+        if not self._result_retention_s:
+            return 0
+        cutoff = self._clock() - self._result_retention_s
+        purged = 0
+        for job in self._jobs.values():
+            if (
+                job.state is JobState.SUCCEEDED
+                and job.result is not None
+                and job.updated_at < cutoff
+            ):
+                job.result = None
+                job.error = {"message": "Result expired per retention policy."}
+                job.version += 1
+                purged += 1
+        if purged:
+            self._lock.notify_all()
+        return purged
 
     def _trim_locked(self) -> None:
         completed = [j for j in self._order if self._jobs[j].state is JobState.SUCCEEDED]

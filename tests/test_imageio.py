@@ -148,3 +148,73 @@ def test_zero_dimension_rejected():
     patched[ihdr_start + 17 : ihdr_start + 21] = struct.pack(">I", crc)
     with pytest.raises(ValueError):
         imageio.decode_image(bytes(patched))
+
+
+def test_property_exif_gps_strip_random_orientations():
+    """Property-style EXIF/GPS-strip test the reference only spec'd
+    (design.md:1276-1306): over random orientations, sizes, and metadata
+    payloads, decode applies the orientation and re-encode carries no EXIF,
+    GPS, or XMP bytes."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1234)
+    for trial in range(24):
+        h = int(rng.integers(16, 96))
+        w = int(rng.integers(16, 96))
+        orientation = int(rng.integers(1, 9))
+        pixels = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+        im = Image.fromarray(pixels)
+        exif = im.getexif()
+        exif[0x0112] = orientation
+        exif[0x010E] = "desc-" + "".join(chr(65 + int(c)) for c in rng.integers(0, 26, 12))
+        exif[0x0131] = "secret-software"
+        from PIL.ExifTags import IFD
+
+        lat = (float(rng.integers(0, 90)), float(rng.integers(0, 60)), 30.0)
+        exif[IFD.GPSInfo] = {1: "N", 2: lat, 3: "W"}  # real GPS sub-IFD
+        buf = io.BytesIO()
+        im.save(buf, "JPEG", quality=95, exif=exif.tobytes())
+        original = buf.getvalue()
+        assert b"Exif" in original
+
+        decoded = imageio.decode_image(original)
+        assert decoded.orientation == orientation
+        # orientations 5-8 transpose the canvas
+        if orientation >= 5:
+            assert (decoded.height, decoded.width) == (w, h)
+        else:
+            assert (decoded.height, decoded.width) == (h, w)
+
+        reencoded = imageio.encode_jpeg(decoded.pixels, quality=85, chroma_444=True)
+        assert b"Exif" not in reencoded
+        assert b"secret-software" not in reencoded
+        assert b"GPS" not in reencoded
+        assert b"http://ns.adobe.com/xap" not in reencoded
+        # re-decoding reports identity orientation and preserved canvas
+        redecoded = imageio.decode_image(reencoded)
+        assert redecoded.orientation == 1
+        assert redecoded.pixels.shape == decoded.pixels.shape
+
+
+def test_result_retention_purges_payloads():
+    """Finished-job results expire per retention policy (GCS 30-day lifecycle
+    analog, gcsClient.js:26-42) while metadata stays queryable."""
+    from image_restoration_platform_tpu.serve.jobs import JobState, JobStore
+
+    now = [1000.0]
+    store = JobStore(result_retention_s=100.0, clock=lambda: now[0])
+    job = store.create("u", {})
+    store.transition(job.id, JobState.RUNNING)
+    store.transition(job.id, JobState.SUCCEEDED, result={"restoredImage": "AAAA"})
+    assert store.get(job.id).result is not None
+
+    now[0] += 50
+    assert store.get(job.id).result is not None  # inside retention
+    now[0] += 100
+    purged = store.purge_expired_results()
+    assert purged == 1
+    survivor = store.get(job.id)
+    assert survivor is not None and survivor.result is None
+    assert survivor.state is JobState.SUCCEEDED
+    assert "expired" in survivor.error["message"]
