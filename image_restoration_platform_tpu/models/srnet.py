@@ -48,6 +48,36 @@ def init(key: jax.Array, config: SRNetConfig = SRNetConfig()) -> dict:
     return params
 
 
+def receptive_halo(config: SRNetConfig = SRNetConfig()) -> int:
+    """Receptive-field radius in input rows: stem (1) + num_blocks x two 3x3
+    convs (2 each) + pre_up (1) + up (1)."""
+    return 2 * config.num_blocks + 3
+
+
+def apply_rowsharded(
+    params: dict, x: jax.Array, config: SRNetConfig = SRNetConfig()
+) -> jax.Array:
+    """Row-sharded forward inside shard_map: [H_loc, W, 3] local block ->
+    [H_loc*scale, W*scale, 3]. Every conv performs its own one-row halo
+    exchange (parallel/halo.py conv2d_rowsharded), so the stitched result is
+    bit-identical to ``apply`` on the whole image — the exact spatial-parallel
+    formulation for images too large for one device."""
+    from ..parallel.halo import conv2d_rowsharded
+
+    c = config
+    h = conv2d_rowsharded(params["stem"], x)
+    feat = h
+    for bp in params["blocks"]:
+        r = conv2d_rowsharded(bp["conv1"], feat)
+        r = nn.silu(r)
+        r = conv2d_rowsharded(bp["conv2"], r)
+        feat = feat + 0.2 * r
+    feat = conv2d_rowsharded(params["pre_up"], feat) + h
+    up = conv2d_rowsharded(params["up"], feat)
+    up = nn.pixel_shuffle(up[None], c.scale)[0]
+    return up + nn.upsample_nearest(x[None], c.scale)[0]
+
+
 def apply(params: dict, x: jax.Array, config: SRNetConfig = SRNetConfig()) -> jax.Array:
     """[N, H, W, 3] in [0,1] -> [N, H*scale, W*scale, 3]."""
     c = config

@@ -1,6 +1,6 @@
 from .mesh import make_mesh, mesh_axes, default_mesh
 from .sharding import activation_sharding, shard_params, replicate
-from .halo import halo_exchange_rows, spatial_shard_apply
+from .halo import halo_exchange_rows, spatial_shard_apply, spatial_shard_model_apply
 
 __all__ = [
     "make_mesh",
@@ -11,4 +11,5 @@ __all__ = [
     "replicate",
     "halo_exchange_rows",
     "spatial_shard_apply",
+    "spatial_shard_model_apply",
 ]
