@@ -81,6 +81,39 @@ def main() -> None:
     batched_ips = (N_BATCHED_STEPS * cfg.max_batch) / (time.time() - t0)
     log(f"batched device 512px (b{cfg.max_batch}): {batched_ips:.3f} images/sec/chip")
 
+    # ---- device-only step cost + MFU (repeat-launch on the cached executable,
+    # blocking once at the end: excludes host transfers and per-call overhead)
+    params = engine._params("restore-unet")
+    key_sig = next(
+        k
+        for k in engine._compiled
+        if isinstance(k, tuple)
+        and k[0] == "restore-unet"
+        and any(s == (tuple(canvas.shape), "uint8") for s in k[1:])
+    )
+    exe = engine._compiled[key_sig]
+    args_d = (jax.device_put(canvas), valid, jpeg_f)
+    out, _ = exe(params, *args_d)
+    jax.block_until_ready(out)
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, _ = exe(params, *args_d)
+    jax.block_until_ready(out)
+    step_s = (time.perf_counter() - t0) / reps
+    device_ms_per_image = step_s / cfg.max_batch * 1000.0
+    mfu = None
+    try:
+        flops = exe.cost_analysis()["flops"]
+        if jax.devices()[0].platform != "cpu":
+            mfu = flops / step_s / 197e12  # v5e bf16 peak
+    except Exception:
+        pass
+    log(
+        f"device-only 512px: {device_ms_per_image:.3f} ms/img"
+        + (f" | MFU {mfu*100:.1f}%" if mfu else "")
+    )
+
     print(
         json.dumps(
             {
@@ -92,6 +125,8 @@ def main() -> None:
                     "p50_ms": round(float(np.percentile(lat, 50)), 1),
                     "p95_ms": round(float(np.percentile(lat, 95)), 1),
                     "batched_images_per_sec_per_chip": round(batched_ips, 3),
+                    "device_ms_per_image_b8": round(device_ms_per_image, 3),
+                    "mfu": round(mfu, 4) if mfu else None,
                 },
             }
         ),

