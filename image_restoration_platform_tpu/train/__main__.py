@@ -43,6 +43,29 @@ def evaluate(params, family_name, key, n=16, size=128):
     return psnr(degraded, clean), psnr(pred, clean)
 
 
+def no_harm_eval(params, family_name, key, n=16, size=128):
+    """Clean-input no-harm gate (VERDICT round-1 item 4): on near-clean inputs
+    the restored output must be at least as close to the reference as the
+    input was — PSNR(out) >= PSNR(in). Conditioning comes from the serving
+    classifier on the near-clean input, exactly as in production."""
+    from ..classify.fused import batch_classify_and_condition
+    from .data import DataConfig, _random_clean_rich
+
+    family = get_family(family_name)
+    k1, k2 = jax.random.split(key)
+    clean = _random_clean_rich(k1, n, size, 3)
+    near_clean = jnp.clip(clean + jax.random.normal(k2, clean.shape) * 0.004, 0.0, 1.0)
+    valid = jnp.tile(jnp.asarray([[size, size]], jnp.int32), (n, 1))
+    _scores, cond = batch_classify_and_condition(
+        near_clean * 255.0, valid, jnp.ones((n,), jnp.float32)
+    )
+    pred = family.apply(
+        params, near_clean.astype(jnp.bfloat16), cond.astype(jnp.bfloat16), config=family.config
+    )
+    pred = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+    return psnr(near_clean, clean), psnr(pred, clean)
+
+
 def main() -> None:
     log = get_logger("train-main")
     family = os.environ.get("TRAIN_FAMILY", "restore-unet")
@@ -78,6 +101,18 @@ def main() -> None:
             "gainDb": round(final_psnr - base_psnr, 2),
         },
     )
+    if family == "restore-unet" or family == "restore-unet-small":
+        in_psnr, out_psnr = no_harm_eval(
+            trainer.state[0], family, jax.random.PRNGKey(555), size=cfg.image_size
+        )
+        log.info(
+            "no-harm eval (near-clean inputs)",
+            {
+                "inputPsnr": round(in_psnr, 2),
+                "outputPsnr": round(out_psnr, 2),
+                "noHarm": bool(out_psnr >= in_psnr),
+            },
+        )
 
     if ckpt_dir:
         trainer.save_checkpoint()
