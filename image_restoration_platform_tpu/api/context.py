@@ -69,7 +69,9 @@ class AppContext:
             ledger=self.ledger,
             config=self.config.credits,
         )
-        self.moderation = ModerationService()
+        from ..serve.vision import create_vision_client
+
+        self.moderation = ModerationService(vision_client=create_vision_client())
         self.engine = engine or RestorationEngine(serving_config=self.config.serving)
         self.batcher = MicroBatcher(self.engine, self.config.serving) if use_batcher else None
         self.classifier = ClassifierService()

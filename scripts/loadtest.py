@@ -5,6 +5,10 @@ continuous micro-batched serving under concurrent traffic).
 Usage: python scripts/loadtest.py [base_url] [n_requests] [concurrency]
 Prints throughput and latency percentiles; the server's /metrics endpoint
 shows the realised device batch sizes.
+
+Note: the credit-grant warmup hits an admin route; start the server with
+ADMIN_DEV_OPEN=1 (or put the loadtest user in ADMIN_USERS) — admin routes are
+fail-closed by default.
 """
 
 import asyncio

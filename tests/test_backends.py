@@ -311,3 +311,73 @@ class TestJwksVerifier:
         assert verifier is not None
         assert verifier("dev-user-bob") is None
         assert verifier(_sign_jwt(key, self._claims()))["id"] == "user-42"
+
+
+# ------------------------------------------------------------ vision adapter
+
+
+class TestVisionAdapter:
+    def _transport_returning(self, annotation):
+        calls = []
+
+        def transport(url, body, headers):
+            calls.append((url, json.loads(body), headers))
+            return {"responses": [{"safeSearchAnnotation": annotation}]}
+
+        return transport, calls
+
+    def test_safe_search_request_and_mapping(self):
+        from image_restoration_platform_tpu.serve.vision import VisionSafeSearchClient
+
+        transport, calls = self._transport_returning(
+            {"adult": "VERY_UNLIKELY", "violence": "POSSIBLE", "racy": "LIKELY",
+             "spoof": "UNLIKELY", "medical": "UNKNOWN"}
+        )
+        client = VisionSafeSearchClient(api_key="k123", transport=transport)
+        flags = client(b"\xff\xd8jpegbytes")
+        assert flags == {
+            "adult": "VERY_UNLIKELY", "violence": "POSSIBLE", "racy": "LIKELY",
+            "spoof": "UNLIKELY", "medical": "UNKNOWN",
+        }
+        url, body, _ = calls[0]
+        assert "key=k123" in url
+        assert body["requests"][0]["features"] == [{"type": "SAFE_SEARCH_DETECTION"}]
+        assert base64.b64decode(body["requests"][0]["image"]["content"]).startswith(b"\xff\xd8")
+
+    def test_moderation_rejects_via_adapter(self):
+        from image_restoration_platform_tpu.serve.moderation import ModerationService
+        from image_restoration_platform_tpu.serve.vision import VisionSafeSearchClient
+
+        transport, _ = self._transport_returning(
+            {"adult": "VERY_LIKELY", "violence": "UNLIKELY", "racy": "UNLIKELY",
+             "spoof": "UNLIKELY", "medical": "UNLIKELY"}
+        )
+        service = ModerationService(
+            vision_client=VisionSafeSearchClient(api_key="k", transport=transport)
+        )
+        result = service.moderate(b"img")
+        assert result["allowed"] is False
+        assert "adult" in result["rejection"]["categories"]
+
+    def test_api_error_fails_closed(self):
+        from image_restoration_platform_tpu.serve.moderation import ModerationService
+        from image_restoration_platform_tpu.serve.vision import VisionSafeSearchClient
+
+        def transport(url, body, headers):
+            return {"responses": [{"error": {"message": "quota exceeded"}}]}
+
+        service = ModerationService(
+            vision_client=VisionSafeSearchClient(api_key="k", transport=transport)
+        )
+        result = service.moderate(b"img")
+        assert result["allowed"] is False
+        assert result["rejection"]["categories"] == ["moderation-service-error"]
+
+    def test_env_factory(self, monkeypatch):
+        from image_restoration_platform_tpu.serve.vision import create_vision_client
+
+        monkeypatch.delenv("VISION_API_KEY", raising=False)
+        monkeypatch.delenv("VISION_ACCESS_TOKEN", raising=False)
+        assert create_vision_client() is None
+        monkeypatch.setenv("VISION_API_KEY", "abc")
+        assert create_vision_client() is not None
