@@ -76,6 +76,7 @@ def main() -> None:
         image_size=int(os.environ.get("TRAIN_SIZE", 128)),
         learning_rate=float(os.environ.get("TRAIN_LR", 2e-4)),
         total_steps=steps,
+        diffusion_sampler_steps=int(os.environ.get("TRAIN_DIFFUSION_SAMPLER_STEPS", 0)),
     )
     ckpt_dir = os.environ.get("TRAIN_CKPT_DIR")
     trainer = Trainer(

@@ -47,6 +47,11 @@ class TrainConfig:
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False
     seed: int = 0
+    # >0 (diffusion family only): train THROUGH the unrolled K-step DDIM
+    # sampler against the clean target instead of the single-step denoising
+    # loss — sampler-aware fine-tuning that makes very low step counts
+    # (1-2) match the quality of the 8-step sampler at serving time
+    diffusion_sampler_steps: int = 0
 
 
 def charbonnier(pred, target, eps):
@@ -93,6 +98,24 @@ def make_train_step(cfg: TrainConfig, mesh=None):
     sr_scale = getattr(model_cfg, "scale", 1)
 
     def loss_fn(params, degraded, clean, cond, step=0):
+        if is_diffusion and cfg.diffusion_sampler_steps > 0:
+            # sampler-aware fine-tune: run the real K-step DDIM restore
+            # (differentiable scan) and regress the final image on clean
+            import dataclasses as _dc
+
+            from ..models import diffusion as diff_mod
+
+            scfg = _dc.replace(model_cfg, sample_steps=cfg.diffusion_sampler_steps)
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 177), step)
+            pred = diff_mod.restore(
+                params,
+                degraded.astype(cfg.compute_dtype),
+                cond.astype(cfg.compute_dtype),
+                key,
+                scfg,
+            ).astype(jnp.float32)
+            loss = charbonnier(pred, clean, cfg.charbonnier_eps)
+            return loss + cfg.grad_loss_weight * gradient_loss(pred, clean)
         if is_diffusion:
             # epsilon-prediction: noise clean images, predict the noise,
             # conditioned on the degradation profile of the paired degraded
