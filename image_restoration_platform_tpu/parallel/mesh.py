@@ -8,6 +8,9 @@ The reference's "distributed backend" is Redis + BullMQ (SURVEY.md section
   spatial — image-row sharding for large tiled inference, the image-domain
             analog of sequence/context parallelism (SP); halo exchange in
             parallel/halo.py rides ``ppermute`` over this axis
+  pipe    — GPipe-style stage pipelining of homogeneous conv chains
+            (parallel/pipeline.py); microbatch payloads flow stage-to-stage
+            via ``ppermute`` ring steps
 
 ``jax.make_mesh`` lays devices out so the innermost axes map to ICI neighbours
 (contiguous device order); across hosts, ``jax.distributed.initialize`` (see
@@ -26,10 +29,11 @@ from jax.sharding import Mesh
 AXIS_DATA = "data"
 AXIS_TENSOR = "tensor"
 AXIS_SPATIAL = "spatial"
+AXIS_PIPE = "pipe"
 
 
-def mesh_axes() -> tuple[str, str, str]:
-    return (AXIS_DATA, AXIS_TENSOR, AXIS_SPATIAL)
+def mesh_axes() -> tuple[str, str, str, str]:
+    return (AXIS_DATA, AXIS_TENSOR, AXIS_SPATIAL, AXIS_PIPE)
 
 
 def maybe_initialize_distributed() -> None:
@@ -48,23 +52,25 @@ def make_mesh(
     data: int = -1,
     tensor: int = 1,
     spatial: int = 1,
+    pipe: int = 1,
 ) -> Mesh:
-    """Build a (data, tensor, spatial) mesh. ``data=-1`` absorbs the rest."""
+    """Build a (data, tensor, spatial, pipe) mesh. ``data=-1`` absorbs the
+    rest. ``pipe`` is innermost so pipeline-neighbour ppermute hops ride
+    adjacent ICI links."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    if tensor * spatial > n or n % (tensor * spatial) != 0:
+    inner = tensor * spatial * pipe
+    if inner > n or n % inner != 0:
         raise ValueError(
-            f"{n} devices not divisible by tensor({tensor}) x spatial({spatial})"
+            f"{n} devices not divisible by tensor({tensor}) x spatial({spatial}) x pipe({pipe})"
         )
     if data == -1:
-        data = n // (tensor * spatial)
-    if data * tensor * spatial != n:
-        raise ValueError(
-            f"mesh {data}x{tensor}x{spatial} != device count {n}"
-        )
+        data = n // inner
+    if data * inner != n:
+        raise ValueError(f"mesh {data}x{tensor}x{spatial}x{pipe} != device count {n}")
     import numpy as np
 
-    dev_array = np.asarray(devices).reshape(data, tensor, spatial)
+    dev_array = np.asarray(devices).reshape(data, tensor, spatial, pipe)
     return Mesh(dev_array, mesh_axes())
 
 

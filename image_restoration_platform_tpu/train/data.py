@@ -186,7 +186,14 @@ def _degrade(key, clean, cfg: DataConfig):
     # (the reference's "good condition -> subtle enhancements only" contract)
     active = jax.random.bernoulli(keys[0], 0.5, (n, 7)).astype(jnp.float32)
     keep_clean = jax.random.bernoulli(keys[6], cfg.clean_fraction, (n, 1)).astype(jnp.float32)
-    strength = jax.random.uniform(keys[1], (n, 7)) * active * (1.0 - keep_clean)
+    # a near-clean band (tiny strengths) densely covers the identity regime,
+    # so serving near-clean inputs satisfies the no-harm gate instead of being
+    # pulled onto the restoration manifold
+    near_clean = jax.random.bernoulli(jax.random.fold_in(key, 13), 0.15, (n, 1)).astype(
+        jnp.float32
+    )
+    scale = 1.0 - near_clean * 0.94
+    strength = jax.random.uniform(keys[1], (n, 7)) * active * (1.0 - keep_clean) * scale
 
     x = clean
 

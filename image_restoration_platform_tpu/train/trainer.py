@@ -58,6 +58,20 @@ def charbonnier(pred, target, eps):
     return jnp.mean(jnp.sqrt(jnp.square(pred - target) + eps * eps))
 
 
+def identity_weighted_charbonnier(pred, target, inputs, eps):
+    """Charbonnier with per-example weights that emphasize the near-identity
+    regime: examples whose input is already close to the target get ~4x
+    weight, so the model learns 'do no harm' on clean inputs instead of
+    pulling them onto the restoration manifold (the clean-input no-harm
+    gate, VERDICT round-1 item 4)."""
+    per_ex = jnp.mean(
+        jnp.sqrt(jnp.square(pred - target) + eps * eps), axis=(1, 2, 3)
+    )  # [N]
+    input_mse = jnp.mean(jnp.square(inputs - target), axis=(1, 2, 3))  # [N]
+    w = 1.0 + 3.0 * jnp.exp(-input_mse / 1e-3)
+    return jnp.sum(per_ex * w) / jnp.sum(w)
+
+
 def gradient_loss(pred, target):
     """L1 on spatial finite differences — keeps restored edges crisp."""
     dy_p, dy_t = pred[:, 1:] - pred[:, :-1], target[:, 1:] - target[:, :-1]
@@ -160,6 +174,9 @@ def make_train_step(cfg: TrainConfig, mesh=None):
                 pred = apply_fn(params, x, cond.astype(cfg.compute_dtype))
             else:
                 pred = apply_fn(params, x, cond.astype(cfg.compute_dtype), config=model_cfg)
+            pred = pred.astype(jnp.float32)
+            loss = identity_weighted_charbonnier(pred, clean, degraded, cfg.charbonnier_eps)
+            return loss + cfg.grad_loss_weight * gradient_loss(pred, clean)
         pred = pred.astype(jnp.float32)
         loss = charbonnier(pred, clean, cfg.charbonnier_eps)
         loss = loss + cfg.grad_loss_weight * gradient_loss(pred, clean)
