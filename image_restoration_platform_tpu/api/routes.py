@@ -558,7 +558,26 @@ async def metrics_endpoint(request: web.Request) -> web.Response:
     return web.Response(text="\n".join(lines) + "\n", content_type="text/plain")
 
 
+_WEB_DIR = os.path.normpath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..", "web")
+)
+_WEB_FILES = {"": "index.html", "index.html": "index.html",
+              "console.js": "console.js", "console.css": "console.css"}
+
+
+async def web_console(request: web.Request) -> web.StreamResponse:
+    """Dev console (web/index.html) — the reference planned a separate PWA
+    (web/README.md); we additionally serve a minimal working client."""
+    name = _WEB_FILES.get(request.match_info.get("asset", ""))
+    path = os.path.join(_WEB_DIR, name) if name else None
+    if path is None or not os.path.exists(path):
+        raise not_found()
+    return web.FileResponse(path)
+
+
 def setup_routes(app: web.Application) -> None:
+    app.router.add_get("/", web_console)
+    app.router.add_get("/{asset:index\\.html|console\\.js|console\\.css}", web_console)
     app.router.add_get("/health/live", health_live)
     app.router.add_get("/health/ready", health_ready)
     app.router.add_get("/metrics", metrics_endpoint)

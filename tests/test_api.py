@@ -587,3 +587,19 @@ class TestAdmin:
             assert balance["paidCredits"] >= 5
 
         run(ctx, check)
+
+
+class TestWebConsole:
+    def test_index_and_assets_served(self, ctx):
+        async def check(client):
+            resp = await client.get("/")
+            assert resp.status == 200
+            body = await resp.text()
+            assert "dev console" in body and "console.js" in body
+            for asset in ("console.js", "console.css", "index.html"):
+                resp = await client.get(f"/{asset}")
+                assert resp.status == 200
+            resp = await client.get("/does-not-exist.js")
+            assert resp.status == 404
+
+        run(ctx, check)
