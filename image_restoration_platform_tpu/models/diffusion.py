@@ -29,7 +29,11 @@ from . import unet
 @dataclass(frozen=True)
 class DiffusionConfig:
     timesteps: int = 1000
-    sample_steps: int = 8
+    # 2-step serving default: after sampler-aware fine-tuning (training
+    # through the unrolled 2-step DDIM, train/trainer.py
+    # diffusion_sampler_steps) the 2-step sampler measures BETTER held-out
+    # +dB than 8-step (+12.4 vs +11.8) at 2.5x less device cost
+    sample_steps: int = 2
     strength: float = 1.0       # 1.0 = denoise from pure noise (SR3); <1 = SDEdit
     # x0-prediction: the model predicts the clean image directly and DDIM
     # derives eps from it — markedly more PSNR-faithful than eps-prediction

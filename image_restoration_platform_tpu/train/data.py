@@ -61,9 +61,10 @@ def _random_clean(key, n, size, channels):
         "nbhw,nbc->nhwc", jnp.exp(-d2 / (2 * widths[:, :, :, None] ** 2 + 1e-4)), amps
     )
     img = base * 0.5 + 0.4 + blobs * 0.4
-    # texture
+    # faint texture: clean photos have LOW high-pass energy — the reference's
+    # noise score is highpass-std/50, and a clean image must not saturate it
     noise_key = jax.random.fold_in(key, 7)
-    texture = jax.random.uniform(noise_key, (n, size, size, channels), minval=-0.05, maxval=0.05)
+    texture = jax.random.uniform(noise_key, (n, size, size, channels), minval=-0.025, maxval=0.025)
     return jnp.clip(img + texture, 0.0, 1.0)
 
 
@@ -73,10 +74,12 @@ def _fractal_noise(key, n, size, channels):
     'clean' images scored unrealistically high on the variance heuristics,
     VERDICT round-1 weak #3)."""
     keys = jax.random.split(key, 8)
-    beta = jax.random.uniform(keys[7], (n, 1, 1, 1), minval=0.7, maxval=1.5)
+    beta = jax.random.uniform(keys[7], (n, 1, 1, 1), minval=1.0, maxval=1.6)
     total = None
     octave, i = 4, 0
-    while octave <= size:
+    # stop at size/2: the finest octave is pixel-level white noise, which
+    # reads as degradation (highpass-std) rather than clean photo texture
+    while octave <= size // 2:
         g = jax.random.normal(keys[i % 7], (n, octave, octave, channels))
         up = jax.image.resize(g, (n, size, size, channels), "linear")
         amp = (4.0 / octave) ** beta
@@ -113,9 +116,9 @@ def _gratings(key, n, size):
     """Localized oriented sinusoid (fabric/wood-grain texture)."""
     ks = jax.random.split(key, 6)
     theta = jax.random.uniform(ks[0], (n, 1, 1, 1), maxval=jnp.pi)
-    freq = jax.random.uniform(ks[1], (n, 1, 1, 1), minval=2.0, maxval=36.0)
+    freq = jax.random.uniform(ks[1], (n, 1, 1, 1), minval=2.0, maxval=24.0)
     phase = jax.random.uniform(ks[2], (n, 1, 1, 1), maxval=2.0 * jnp.pi)
-    amp = jax.random.uniform(ks[3], (n, 1, 1, 1), maxval=0.25)
+    amp = jax.random.uniform(ks[3], (n, 1, 1, 1), maxval=0.18)
     yy = jnp.linspace(0.0, 1.0, size)[None, :, None, None]
     xx = jnp.linspace(0.0, 1.0, size)[None, None, :, None]
     wave = jnp.sin(2.0 * jnp.pi * freq * (xx * jnp.cos(theta) + yy * jnp.sin(theta)) + phase)
