@@ -82,6 +82,7 @@ def main() -> None:
         learning_rate=float(os.environ.get("TRAIN_LR", 2e-4)),
         total_steps=steps,
         diffusion_sampler_steps=int(os.environ.get("TRAIN_DIFFUSION_SAMPLER_STEPS", 0)),
+        identity_weight=float(os.environ.get("TRAIN_IDENTITY_WEIGHT", 3.0)),
     )
     ckpt_dir = os.environ.get("TRAIN_CKPT_DIR")
     trainer = Trainer(

@@ -47,6 +47,8 @@ class TrainConfig:
     compute_dtype: Any = jnp.bfloat16
     remat: bool = False
     seed: int = 0
+    # weight multiplier for near-identity examples in the restoration loss
+    identity_weight: float = 3.0
     # >0 (diffusion family only): train THROUGH the unrolled K-step DDIM
     # sampler against the clean target instead of the single-step denoising
     # loss — sampler-aware fine-tuning that makes very low step counts
@@ -58,7 +60,7 @@ def charbonnier(pred, target, eps):
     return jnp.mean(jnp.sqrt(jnp.square(pred - target) + eps * eps))
 
 
-def identity_weighted_charbonnier(pred, target, inputs, eps):
+def identity_weighted_charbonnier(pred, target, inputs, eps, identity_weight=3.0):
     """Charbonnier with per-example weights that emphasize the near-identity
     regime: examples whose input is already close to the target get ~4x
     weight, so the model learns 'do no harm' on clean inputs instead of
@@ -68,7 +70,7 @@ def identity_weighted_charbonnier(pred, target, inputs, eps):
         jnp.sqrt(jnp.square(pred - target) + eps * eps), axis=(1, 2, 3)
     )  # [N]
     input_mse = jnp.mean(jnp.square(inputs - target), axis=(1, 2, 3))  # [N]
-    w = 1.0 + 3.0 * jnp.exp(-input_mse / 1e-3)
+    w = 1.0 + identity_weight * jnp.exp(-input_mse / 1e-3)
     return jnp.sum(per_ex * w) / jnp.sum(w)
 
 
@@ -175,7 +177,9 @@ def make_train_step(cfg: TrainConfig, mesh=None):
             else:
                 pred = apply_fn(params, x, cond.astype(cfg.compute_dtype), config=model_cfg)
             pred = pred.astype(jnp.float32)
-            loss = identity_weighted_charbonnier(pred, clean, degraded, cfg.charbonnier_eps)
+            loss = identity_weighted_charbonnier(
+                pred, clean, degraded, cfg.charbonnier_eps, cfg.identity_weight
+            )
             return loss + cfg.grad_loss_weight * gradient_loss(pred, clean)
         pred = pred.astype(jnp.float32)
         loss = charbonnier(pred, clean, cfg.charbonnier_eps)
