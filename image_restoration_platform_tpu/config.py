@@ -122,6 +122,13 @@ class ServingConfig:
     )
     batch_delay_ms: int = field(default_factory=lambda: _env_int("RESTORATION_BATCH_DELAY_MS", 0))
     request_deadline_s: float = field(default_factory=lambda: _env_float("SERVE_DEADLINE_S", 120.0))
+    # opt-in: serve the UNet families in the W-folded layout (models/folded.py).
+    # Width-pairs fold into lanes so small-channel convs fill the MXU — an
+    # exact weight reparameterization that halves per-conv time (17% -> 68%
+    # MFU on the full-res level), but whole-program it currently loses ~20%
+    # to fold/unfold relayouts and scheduling (25.8 vs 21.5 ms/step at 512px
+    # b8), so the default stays off; see models/folded.py for measurements
+    fold_w: bool = field(default_factory=lambda: _env_int("SERVE_FOLD_W", 0) == 1)
 
 
 @dataclass

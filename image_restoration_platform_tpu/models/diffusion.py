@@ -62,18 +62,23 @@ def add_noise(x0: jax.Array, noise: jax.Array, t_frac: jax.Array) -> jax.Array:
     return jnp.sqrt(ab) * x0 + jnp.sqrt(1.0 - ab) * noise
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "apply_fn"))
 def restore(
     params: dict,
     x: jax.Array,
     cond: jax.Array,
     key: jax.Array,
     config: DiffusionConfig = DiffusionConfig(),
+    apply_fn=None,
 ) -> jax.Array:
     """SDEdit restoration: noise the input to ``strength`` and DDIM back to 0.
 
     x [N,H,W,3] in [0,1]; returns the restored image, same shape/range.
+    ``apply_fn`` overrides the epsilon-model forward (serving passes the
+    W-folded variant, models/folded.py, with correspondingly folded params).
     """
+    if apply_fn is None:
+        apply_fn = unet.apply
     c = config
     # work in [-1, 1]; the degraded image conditions every step
     x_cond = x * 2.0 - 1.0
@@ -90,7 +95,7 @@ def restore(
         t_next = fracs[idx + 1]
         t_vec = jnp.full((x.shape[0],), t_now * c.timesteps, dtype=jnp.float32)
         model_in = jnp.concatenate([xt, x_cond.astype(xt.dtype)], axis=-1)
-        out = unet.apply(params, model_in, cond, t=t_vec, config=c.unet)
+        out = apply_fn(params, model_in, cond, t=t_vec, config=c.unet)
         ab_now = alpha_bar(t_now)
         ab_next = alpha_bar(t_next)
         if c.parameterization == "x0":

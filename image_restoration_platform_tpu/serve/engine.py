@@ -92,10 +92,27 @@ class RestorationEngine:
 
     # ------------------------------------------------------------- params
 
+    def _uses_folded(self, family_name: str) -> bool:
+        """UNet-based families serve in the W-folded layout (models/folded.py)
+        when config.fold_w: exact reparameterization, MXU-filling channel
+        counts at every level."""
+        return self.config.fold_w and family_name in (
+            "restore-unet",
+            "restore-unet-small",
+            "diffusion-restore",
+        )
+
     def _params(self, family_name: str) -> dict:
         with self._lock:
             if family_name not in self._sharded_params:
                 params = self.params_cache.get(family_name)
+                if self._uses_folded(family_name):
+                    from ..models import folded
+                    from ..models.registry import get_family as _gf
+
+                    cfg = _gf(family_name).config
+                    unet_cfg = getattr(cfg, "unet", cfg)
+                    params = folded.fold_params(params, unet_cfg)
                 if self.mesh is not None and np.prod(list(self.mesh.shape.values())) > 1:
                     params = shard_params(params, self.mesh)
                 else:
@@ -123,6 +140,10 @@ class RestorationEngine:
 
             return jax.jit(program)
 
+        use_folded = self._uses_folded(family_name)
+        if use_folded:
+            from ..models import folded
+
         if family_name == "diffusion-restore":
 
             def program(params, canvas_u8, valid_hw, is_jpeg_f, key):
@@ -130,18 +151,23 @@ class RestorationEngine:
                     canvas_u8.astype(jnp.float32), valid_hw, is_jpeg_f
                 )
                 x = canvas_u8.astype(dtype) / dtype(255.0)
-                out = family.apply(params, x, cond.astype(dtype), key, cfg)
+                out = family.apply(
+                    params, x, cond.astype(dtype), key, cfg,
+                    apply_fn=folded.apply if use_folded else None,
+                )
                 out_u8 = jnp.clip(jnp.round(out.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.uint8)
                 return out_u8, scores
 
             return jax.jit(program)
+
+        backbone = folded.apply if use_folded else family.apply
 
         def program(params, canvas_u8, valid_hw, is_jpeg_f):
             scores, cond = batch_classify_and_condition(
                 canvas_u8.astype(jnp.float32), valid_hw, is_jpeg_f
             )
             x = canvas_u8.astype(dtype) / dtype(255.0)
-            out = family.apply(params, x, cond.astype(dtype), config=cfg)
+            out = backbone(params, x, cond.astype(dtype), config=cfg)
             out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
             return jnp.round(out * 255.0).astype(jnp.uint8), scores
 
@@ -210,7 +236,9 @@ class RestorationEngine:
         import pickle
 
         family_name = tag if isinstance(tag, str) else tag[1]
-        key_sig = (tag,) + tuple(
+        # the fold flag changes the param tree shapes for the same tag+args,
+        # so it must key both the in-memory and the disk cache
+        key_sig = (tag, ("fold_w", self._uses_folded(family_name))) + tuple(
             (tuple(a.shape), str(a.dtype)) for a in example_args if hasattr(a, "shape")
         )
         with self._lock:
