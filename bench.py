@@ -95,12 +95,22 @@ def main() -> None:
     args_d = (jax.device_put(canvas), valid, jpeg_f)
     out, _ = exe(params, *args_d)
     jax.block_until_ready(out)
+
+    # chain-differenced timing with a device_get sync: block_until_ready does
+    # not reliably serialize dispatched work on this TPU stack, so time an
+    # N-launch chain and a 1-launch chain, both ended by a synchronizing
+    # device_get, and take the difference (docs/STATUS.md measurement notes)
+    def _run_chain(n: int) -> float:
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o, _ = exe(params, *args_d)
+        jax.device_get(o[:1, :1, :1])
+        return time.perf_counter() - t0
+
     reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out, _ = exe(params, *args_d)
-    jax.block_until_ready(out)
-    step_s = (time.perf_counter() - t0) / reps
+    _run_chain(1)
+    step_s = min((_run_chain(reps) - _run_chain(1)) / (reps - 1) for _ in range(2))
     device_ms_per_image = step_s / cfg.max_batch * 1000.0
     mfu = None
     try:
