@@ -129,6 +129,10 @@ class ServingConfig:
     # to fold/unfold relayouts and scheduling (25.8 vs 21.5 ms/step at 512px
     # b8), so the default stays off; see models/folded.py for measurements
     fold_w: bool = field(default_factory=lambda: _env_int("SERVE_FOLD_W", 0) == 1)
+    # W-fold for the SR families: SRNet is the ideal fold case (pure stride-1
+    # conv chain, no stats/attention boundaries), so its fold is a clean
+    # ~1.9x on device time and defaults on
+    fold_w_sr: bool = field(default_factory=lambda: _env_int("SERVE_FOLD_W_SR", 1) == 1)
 
 
 @dataclass

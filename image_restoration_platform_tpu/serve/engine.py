@@ -93,14 +93,25 @@ class RestorationEngine:
     # ------------------------------------------------------------- params
 
     def _uses_folded(self, family_name: str) -> bool:
-        """UNet-based families serve in the W-folded layout (models/folded.py)
-        when config.fold_w: exact reparameterization, MXU-filling channel
-        counts at every level."""
+        """Families served in the W-folded layout (models/folded.py): exact
+        reparameterization, MXU-filling channel counts at every level. SRNet
+        (pure conv chain, no fold boundaries) folds under fold_w_sr; the UNet
+        families under the opt-in fold_w (see config.py for measurements)."""
+        if family_name.startswith("sr-"):
+            return self.config.fold_w_sr
         return self.config.fold_w and family_name in (
             "restore-unet",
             "restore-unet-small",
             "diffusion-restore",
         )
+
+    def _sr_apply(self, family_name: str):
+        """The SR forward matching what _params returns for this family."""
+        if self._uses_folded(family_name):
+            from ..models import folded
+
+            return folded.apply_srnet
+        return get_family(family_name).apply
 
     def _params(self, family_name: str) -> dict:
         with self._lock:
@@ -111,8 +122,10 @@ class RestorationEngine:
                     from ..models.registry import get_family as _gf
 
                     cfg = _gf(family_name).config
-                    unet_cfg = getattr(cfg, "unet", cfg)
-                    params = folded.fold_params(params, unet_cfg)
+                    if family_name.startswith("sr-"):
+                        params = folded.fold_params_srnet(params)
+                    else:
+                        params = folded.fold_params(params, getattr(cfg, "unet", cfg))
                 if self.mesh is not None and np.prod(list(self.mesh.shape.values())) > 1:
                     params = shard_params(params, self.mesh)
                 else:
@@ -132,17 +145,18 @@ class RestorationEngine:
         dtype = self.dtype
 
         if family_name.startswith("sr-"):
+            sr_apply = self._sr_apply(family_name)
 
             def program(params, imgs_u8):
                 x = imgs_u8.astype(dtype) / dtype(255.0)
-                out = family.apply(params, x, cfg)
+                out = sr_apply(params, x, cfg)
                 return jnp.clip(jnp.round(out.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.uint8)
 
             return jax.jit(program)
 
         use_folded = self._uses_folded(family_name)
         if use_folded:
-            from ..models import folded
+            from ..models import folded  # noqa: F811
 
         if family_name == "diffusion-restore":
 
@@ -509,10 +523,12 @@ class RestorationEngine:
         dtype = self.dtype
         multi_device = self._is_multi_device()
 
+        sr_apply = self._sr_apply(family_name)
+
         def sr_fn_builder(params):
             def per_tiles(tiles):
                 x = tiles.astype(dtype) / dtype(255.0)
-                out = family.apply(params, x, cfg)
+                out = sr_apply(params, x, cfg)
                 return out.astype(jnp.float32) * 255.0
 
             return per_tiles
@@ -625,7 +641,19 @@ class RestorationEngine:
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        params = self._params(family_name)
+        # the row-sharded forward keeps the standard (unfolded) layout — its
+        # per-layer halo exchange is defined on unfolded weights — so fetch
+        # raw params regardless of the family's fold setting
+        with self._lock:
+            raw_key = ("raw", family_name)
+            if raw_key not in self._sharded_params:
+                raw = self.params_cache.get(family_name)
+                self._sharded_params[raw_key] = (
+                    shard_params(raw, self.mesh)
+                    if self.mesh is not None and np.prod(list(self.mesh.shape.values())) > 1
+                    else jax.device_put(raw)
+                )
+            params = self._sharded_params[raw_key]
         canvas_d = jax.device_put(
             canvas_u8, NamedSharding(self.mesh, P(AXIS_SPATIAL, None, None))
         )

@@ -103,6 +103,41 @@ def test_diffusion_folded_matches():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_srnet_folded_matches():
+    from image_restoration_platform_tpu.models import srnet
+
+    cfg = srnet.SRNetConfig(scale=2, num_blocks=3)
+    kp, kx = jax.random.split(jax.random.PRNGKey(8))
+    params = srnet.init(kp, cfg)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.PRNGKey(p.size % 83), p.shape, jnp.float32),
+        params,
+    )
+    x = jax.random.uniform(kx, (2, 24, 32, 3), jnp.float32)
+    ref = srnet.apply(params, x, cfg)
+    got = folded.apply_srnet(folded.fold_params_srnet(params), x, cfg)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_engine_sr_folded_matches_unfolded(tmp_path, monkeypatch):
+    monkeypatch.setenv("IRP_EXEC_CACHE_DIR", str(tmp_path))
+    from image_restoration_platform_tpu.config import ServingConfig
+    from image_restoration_platform_tpu.serve.engine import RestorationEngine
+
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    out_on, _ = RestorationEngine(
+        serving_config=ServingConfig(size_buckets=(32,), max_batch=2, fold_w_sr=True)
+    ).sr_batch(imgs, "sr-x2")
+    out_off, _ = RestorationEngine(
+        serving_config=ServingConfig(size_buckets=(32,), max_batch=2, fold_w_sr=False)
+    ).sr_batch(imgs, "sr-x2")
+    diff = np.abs(out_on.astype(np.int16) - out_off.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.25
+
+
 def test_engine_serves_folded_matching_unfolded(tmp_path, monkeypatch):
     """End-to-end: the engine with fold_w on must produce byte-identical (or
     off-by-one-quantization) outputs vs fold_w off, through the full fused
