@@ -436,13 +436,19 @@ class RestorationEngine:
         family = get_family(family_name)
         cfg = family.config
         dtype = self.dtype
+        if self._uses_folded(family_name):
+            from ..models import folded
+
+            backbone = folded.apply
+        else:
+            backbone = family.apply
 
         def program(params, canvas, vhw, jpeg_f):
             scores, cond = batch_classify_and_condition(
                 canvas.astype(jnp.float32), vhw, jpeg_f
             )
             x = canvas.astype(dtype) / dtype(255.0)
-            restored = family.apply(params, x, cond.astype(dtype), config=cfg)
+            restored = backbone(params, x, cond.astype(dtype), config=cfg)
             restored = jnp.clip(restored.astype(jnp.float32), 0.0, 1.0)
             # quality weighting: blur/noise/lowLight degrade alignment-free
             # fusion the most; softmax sharpens the preference

@@ -138,6 +138,32 @@ def test_engine_sr_folded_matches_unfolded(tmp_path, monkeypatch):
     assert (diff > 0).mean() < 0.25
 
 
+def test_engine_fusion_folded_matches_unfolded(tmp_path, monkeypatch):
+    monkeypatch.setenv("IRP_EXEC_CACHE_DIR", str(tmp_path))
+    from image_restoration_platform_tpu.config import ServingConfig
+    from image_restoration_platform_tpu.serve.engine import RestorationEngine
+
+    rng = np.random.default_rng(2)
+    canvas = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    valid = np.asarray([[32, 32], [32, 32]], np.int32)
+    jf = np.asarray([1.0, 1.0], np.float32)
+
+    def run(fold):
+        eng = RestorationEngine(
+            serving_config=ServingConfig(size_buckets=(32,), max_batch=2, fold_w=fold)
+        )
+        fused, scores, _ = eng.fuse_batch(canvas, valid, jf, "restore-unet-small")
+        return fused, scores
+
+    f_on, s_on = run(True)
+    f_off, s_off = run(False)
+    np.testing.assert_allclose(s_on, s_off, rtol=1e-4, atol=1e-4)
+    # the composite blends K restored images, so per-image bf16 rounding
+    # flips can compound to 2 quantization steps
+    diff = np.abs(f_on.astype(np.int16) - f_off.astype(np.int16))
+    assert diff.max() <= 2
+
+
 def test_engine_serves_folded_matching_unfolded(tmp_path, monkeypatch):
     """End-to-end: the engine with fold_w on must produce byte-identical (or
     off-by-one-quantization) outputs vs fold_w off, through the full fused
