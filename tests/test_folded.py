@@ -177,18 +177,20 @@ def test_engine_serves_folded_matching_unfolded(tmp_path, monkeypatch):
     valid = np.asarray([[64, 64], [48, 56]], np.int32)
     jf = np.asarray([1.0, 0.0], np.float32)
 
+    import jax.numpy as jnp2
+
     cfg_on = ServingConfig(size_buckets=(64,), max_batch=2, fold_w=True)
     cfg_off = ServingConfig(size_buckets=(64,), max_batch=2, fold_w=False)
-    out_on, scores_on, _ = RestorationEngine(serving_config=cfg_on).restore_batch(
-        canvas, valid, jf, "restore-unet"
-    )
-    out_off, scores_off, _ = RestorationEngine(serving_config=cfg_off).restore_batch(
-        canvas, valid, jf, "restore-unet"
-    )
+    # f32 engines: tests the fold transform itself rather than bf16
+    # reassociation noise (which grows with residual magnitude as weights
+    # get stronger)
+    out_on, scores_on, _ = RestorationEngine(
+        serving_config=cfg_on, compute_dtype=jnp2.float32
+    ).restore_batch(canvas, valid, jf, "restore-unet")
+    out_off, scores_off, _ = RestorationEngine(
+        serving_config=cfg_off, compute_dtype=jnp2.float32
+    ).restore_batch(canvas, valid, jf, "restore-unet")
     np.testing.assert_allclose(scores_on, scores_off, rtol=1e-4, atol=1e-4)
-    # bf16 forward: reassociated sums may flip the u8 rounding by 1
     diff = np.abs(out_on.astype(np.int16) - out_off.astype(np.int16))
     assert diff.max() <= 1, diff.max()
-    # bf16 keeps ~8 mantissa bits: a sizable fraction of values sit near the
-    # u8 rounding boundary and flip by 1 under reassociation
-    assert (diff > 0).mean() < 0.25
+    assert (diff > 0).mean() < 0.02
