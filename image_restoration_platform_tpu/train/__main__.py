@@ -96,7 +96,20 @@ def main() -> None:
     log.info("pre-train eval", {"degradedPsnr": round(base_psnr, 2), "modelPsnr": round(init_psnr, 2)})
 
     t0 = time.time()
-    trainer.run(steps, log_every=max(1, steps // 40))
+    # TRAIN_EXPORT_EVERY chunks the schedule and exports npz between chunks,
+    # so a tunnel hang or kill mid-run loses at most one chunk of progress
+    export_every = int(os.environ.get("TRAIN_EXPORT_EVERY", 0))
+    if export_every > 0:
+        done = 0
+        while done < steps:
+            n = min(export_every, steps - done)
+            trainer.run(n, log_every=max(1, steps // 40))
+            done += n
+            if done < steps:
+                weights_mod.save_params(trainer.state[0], weights_mod.weights_path(family))
+                log.info("interim export", {"stepsDone": done})
+    else:
+        trainer.run(steps, log_every=max(1, steps // 40))
     log.info("training done", {"steps": steps, "seconds": round(time.time() - t0, 1)})
 
     _, final_psnr = evaluate(trainer.state[0], family, eval_key, size=cfg.image_size)

@@ -256,11 +256,14 @@ class Trainer:
         )
 
     def run(self, steps: int, log_every: int = 50) -> list[float]:
-        key = jax.random.PRNGKey(self.cfg.seed + 1)
+        # the data key persists across run() calls so callers can chunk a
+        # long schedule (periodic weight export) without repeating batches
+        if getattr(self, "_run_key", None) is None:
+            self._run_key = jax.random.PRNGKey(self.cfg.seed + 1)
         losses = []
         t0 = time.time()
         for i in range(steps):
-            key, bk = jax.random.split(key)
+            self._run_key, bk = jax.random.split(self._run_key)
             batch = synthetic_batch(bk, self.cfg.batch_size, self._data_cfg)
             batch = self.place_batch(batch)
             self.state, loss = self.step_fn(self.state, *batch)
