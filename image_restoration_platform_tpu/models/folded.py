@@ -70,6 +70,7 @@ _FOLD_S2 = {
 def fold_w(x: jax.Array) -> jax.Array:
     """[N,H,W,C] -> [N,H,W/2,2C]; folded channel index is 2c + (w % 2)."""
     n, h, w, c = x.shape
+    assert w % 2 == 0, f"fold_w needs an even width, got {w}"
     return x.reshape(n, h, w // 2, 2, c).transpose(0, 1, 2, 4, 3).reshape(n, h, w // 2, 2 * c)
 
 
@@ -137,8 +138,35 @@ def _fold_res_block(p: dict) -> dict:
     return out
 
 
+def _assert_gn_foldable(params: dict, groups: int) -> None:
+    """Folded GroupNorm is equivalent only when doubling the channel count
+    does not change the effective group count: _gn_groups(2C) == _gn_groups(C)
+    makes each folded group exactly the interleaved fold of an original group.
+    Current configs (C a multiple of norm_groups everywhere) satisfy this; a
+    new config that violated it would silently diverge, so fail loudly."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if set(node) == {"scale", "bias"} and node["scale"].ndim == 1:
+                c = node["scale"].shape[0]
+                assert nn._gn_groups(2 * c, groups) == nn._gn_groups(c, groups), (
+                    f"GroupNorm over {c} channels is not fold-safe with "
+                    f"norm_groups={groups}: folded group count "
+                    f"{nn._gn_groups(2 * c, groups)} != {nn._gn_groups(c, groups)}"
+                )
+            else:
+                for v in node.values():
+                    walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(params)
+
+
 def fold_params(params: dict, config: unet.UNetConfig) -> dict:
     """Map a trained unet param tree to its W-folded serving equivalent."""
+    _assert_gn_foldable(params, config.norm_groups)
     out = {
         "cond_mlp1": params["cond_mlp1"],
         "cond_mlp2": params["cond_mlp2"],
@@ -240,6 +268,13 @@ def apply(
     emb = nn.dense(params["cond_mlp2"], emb)
 
     x_in = unet._space_to_depth(x, c.input_scale) if c.input_scale > 1 else x
+    # each of the (levels-1) stride-2 convs halves the folded width and
+    # _FOLD_S2 assumes the pre-stride width is even, so the network-input
+    # width must carry 2^levels worth of factors of two
+    assert x_in.shape[2] % (2 ** len(c.channel_mults)) == 0, (
+        f"folded UNet needs input width (after space-to-depth) divisible by "
+        f"{2 ** len(c.channel_mults)}, got {x_in.shape[2]}"
+    )
     h = nn.conv2d(params["stem"], fold_w(x_in))
 
     skips = []

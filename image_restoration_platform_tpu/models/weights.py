@@ -51,8 +51,13 @@ def save_params(params, path: str, half_precision: bool = True) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     buf = io.BytesIO()
     np.savez_compressed(buf, **flat)
-    with open(path, "wb") as f:
+    # atomic swap: interim exports (TRAIN_EXPORT_EVERY) overwrite the served
+    # weights mid-run; a kill during a plain open(path,'wb') write would
+    # corrupt both the serving weights and the TRAIN_RESUME warm-start source
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(buf.getvalue())
+    os.replace(tmp, path)
 
 
 def load_params(template, path: str):

@@ -402,13 +402,19 @@ class RestorationEngine:
             # of size), so block_until_ready + two np.asarray calls cost three
             # round trips where one device_get costs one — measured 136 ms ->
             # 72 ms per single-image request on the v5e tunnel.
+            t_fetch = time.perf_counter()
             out_h, scores_h = jax.device_get((out, scores))
         device_s = time.perf_counter() - t0
         self.device_seconds_total += device_s
 
         meta = {
             "engineRequestId": uuid.uuid4().hex,
+            # includes the device->host fetch (the fetch is the only sync
+            # point, so compute and transfer are not separable here); the
+            # fetch-only span is reported alongside so MFU-style derivations
+            # can subtract transport (ADVICE r2)
             "deviceSeconds": device_s,
+            "fetchSeconds": time.perf_counter() - t_fetch,
             "batchBucket": bucket,
             "batchOccupancy": n / bucket,
             "family": family_name,
@@ -467,6 +473,7 @@ class RestorationEngine:
         t0 = time.perf_counter()
         with device_trace(f"fuse/{family_name}/k{k}/{canvas_u8.shape[1]}"):
             fused, scores = executable(params, *args)
+            t_fetch = time.perf_counter()
             fused_h, scores_h = jax.device_get((fused, scores))  # one round trip
         device_s = time.perf_counter() - t0
         self.device_seconds_total += device_s
@@ -476,6 +483,7 @@ class RestorationEngine:
             {
                 "engineRequestId": uuid.uuid4().hex,
                 "deviceSeconds": device_s,
+                "fetchSeconds": time.perf_counter() - t_fetch,
                 "family": family_name,
                 "fusionInputs": k,
             },
@@ -489,12 +497,15 @@ class RestorationEngine:
         executable = self._aot_executable(("sr", family_name), (imgs_d,))
         t0 = time.perf_counter()
         with device_trace(f"sr/{family_name}/{imgs_u8.shape[1]}x{imgs_u8.shape[2]}"):
-            out = jax.device_get(executable(params, imgs_d))  # one round trip
+            out_d = executable(params, imgs_d)
+            t_fetch = time.perf_counter()
+            out = jax.device_get(out_d)  # one round trip
         device_s = time.perf_counter() - t0
         self.device_seconds_total += device_s
         return np.asarray(out)[:n], {
             "engineRequestId": uuid.uuid4().hex,
             "deviceSeconds": device_s,
+            "fetchSeconds": time.perf_counter() - t_fetch,
             "family": family_name,
         }
 
@@ -594,12 +605,15 @@ class RestorationEngine:
         )
         t0 = time.perf_counter()
         with device_trace(f"sr_tiled/{family_name}/{size}t{tile}"):
-            out = jax.device_get(executable(params, canvas_d))  # one round trip
+            out_d = executable(params, canvas_d)
+            t_fetch = time.perf_counter()
+            out = jax.device_get(out_d)  # one round trip
         device_s = time.perf_counter() - t0
         self.device_seconds_total += device_s
         return np.asarray(out), {
             "engineRequestId": uuid.uuid4().hex,
             "deviceSeconds": device_s,
+            "fetchSeconds": time.perf_counter() - t_fetch,
             "family": family_name,
             "tile": tile,
             "overlap": overlap,
@@ -671,12 +685,15 @@ class RestorationEngine:
         )
         t0 = time.perf_counter()
         with device_trace(f"sr_spatial/{family_name}/{h}"):
-            out = jax.device_get(executable(params, canvas_d))  # one round trip
+            out_d = executable(params, canvas_d)
+            t_fetch = time.perf_counter()
+            out = jax.device_get(out_d)  # one round trip
         device_s = time.perf_counter() - t0
         self.device_seconds_total += device_s
         return np.asarray(out), {
             "engineRequestId": uuid.uuid4().hex,
             "deviceSeconds": device_s,
+            "fetchSeconds": time.perf_counter() - t_fetch,
             "family": family_name,
             "spatialShards": sp,
             "halo": halo,

@@ -209,6 +209,7 @@ class RestoratorService:
                         "estimatedCostUsd": round(device_s * DEVICE_COST_PER_SECOND_USD, 8),
                         "billedTokens": None,
                         "deviceSeconds": device_s,
+                        "fetchSeconds": engine_meta.get("fetchSeconds"),
                         "model": engine_meta.get("family"),
                         "sizeBucket": bucket,
                         "processingTime": timings["total_ms"],
@@ -296,6 +297,7 @@ class RestoratorService:
                 "estimatedCostUsd": round(device_s * DEVICE_COST_PER_SECOND_USD, 8),
                 "billedTokens": None,
                 "deviceSeconds": device_s,
+                "fetchSeconds": engine_meta.get("fetchSeconds"),
                 "model": family,
                 "scaleFactor": scale,
                 "outputSize": [h * scale, w * scale],
@@ -404,6 +406,7 @@ class RestoratorService:
                         "estimatedCostUsd": round(device_s * DEVICE_COST_PER_SECOND_USD, 8),
                         "billedTokens": None,
                         "deviceSeconds": device_s,
+                        "fetchSeconds": engine_meta.get("fetchSeconds"),
                         "model": family,
                         "fusionInputs": len(images),
                         "perImageAnalysis": per_image,

@@ -4,7 +4,7 @@
 # The sleeps between phases let the TPU release cleanly — back-to-back client
 # handoffs on this stack race and FailedPrecondition the second process.
 set -x
-cd /root/repo
+cd "$(dirname "$0")/.."
 mkdir -p /tmp/retrain_r2b
 TRAIN_FAMILY=restore-unet TRAIN_RESUME=1 TRAIN_STEPS=40000 TRAIN_BATCH=32 TRAIN_SIZE=128 TRAIN_LR=8e-5 \
   python -m image_restoration_platform_tpu.train > /tmp/retrain_r2b/unet128b.log 2>&1

@@ -3,7 +3,7 @@
 # after the long fine-tune) + longer schedules for every other family.
 # Inter-phase sleeps: back-to-back TPU client handoffs race on this stack.
 set -x
-cd /root/repo
+cd "$(dirname "$0")/.."
 mkdir -p /tmp/retrain_r2c
 TRAIN_FAMILY=restore-unet TRAIN_RESUME=1 TRAIN_STEPS=1200 TRAIN_BATCH=8 TRAIN_SIZE=256 TRAIN_LR=8e-6 TRAIN_IDENTITY_WEIGHT=8 \
   python -m image_restoration_platform_tpu.train > /tmp/retrain_r2c/unet_polish.log 2>&1

@@ -120,7 +120,35 @@ def test_srnet_folded_matches():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
-def test_engine_sr_folded_matches_unfolded(tmp_path, monkeypatch):
+def test_engine_sr_folded_matches_unfolded_f32(tmp_path, monkeypatch):
+    """The fold transform itself is exact: f32 engines must agree to within
+    one uint8 quantization step (round-to-nearest ties at the .5 boundary)."""
+    monkeypatch.setenv("IRP_EXEC_CACHE_DIR", str(tmp_path))
+    from image_restoration_platform_tpu.config import ServingConfig
+    from image_restoration_platform_tpu.serve.engine import RestorationEngine
+
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    out_on, _ = RestorationEngine(
+        serving_config=ServingConfig(size_buckets=(32,), max_batch=2, fold_w_sr=True),
+        compute_dtype=jnp.float32,
+    ).sr_batch(imgs, "sr-x2")
+    out_off, _ = RestorationEngine(
+        serving_config=ServingConfig(size_buckets=(32,), max_batch=2, fold_w_sr=False),
+        compute_dtype=jnp.float32,
+    ).sr_batch(imgs, "sr-x2")
+    diff = np.abs(out_on.astype(np.int16) - out_off.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.25
+
+
+def test_engine_sr_folded_matches_unfolded_bf16(tmp_path, monkeypatch):
+    """Default (bf16) engines: the folded conv sums the same products in a
+    different association order, so each conv output can differ by 1 bf16 ulp
+    (2^-8 relative ~ 1 byte level at full scale); the SRNet residual chain can
+    compound two such flips before the final quantize. Bound: <=2 byte levels,
+    mostly-zero diff. The exactness of the transform is asserted by the f32
+    test above and test_srnet_folded_matches."""
     monkeypatch.setenv("IRP_EXEC_CACHE_DIR", str(tmp_path))
     from image_restoration_platform_tpu.config import ServingConfig
     from image_restoration_platform_tpu.serve.engine import RestorationEngine
@@ -134,7 +162,8 @@ def test_engine_sr_folded_matches_unfolded(tmp_path, monkeypatch):
         serving_config=ServingConfig(size_buckets=(32,), max_batch=2, fold_w_sr=False)
     ).sr_batch(imgs, "sr-x2")
     diff = np.abs(out_on.astype(np.int16) - out_off.astype(np.int16))
-    assert diff.max() <= 1
+    assert diff.max() <= 2
+    assert (diff > 1).mean() < 0.01
     assert (diff > 0).mean() < 0.25
 
 
