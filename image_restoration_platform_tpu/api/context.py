@@ -83,7 +83,11 @@ class AppContext:
             serving_config=self.config.serving,
             batcher=self.batcher,
         )
-        self.jobs = JobStore(
+        from ..serve.durable import create_job_store
+
+        # durable when DURABLE_DB_PATH is set (same selection rule as the
+        # user/ledger tier): job records + results survive restarts
+        self.jobs = create_job_store(
             keep_completed=self.config.queue.keep_completed,
             keep_failed=self.config.queue.keep_failed,
         )
@@ -94,6 +98,14 @@ class AppContext:
             workers=queue_workers,
             on_exhausted=self._refund_job,
         )
+        # crash recovery: re-enqueue jobs the previous process left
+        # queued/mid-attempt (design.md:912-933) — billed credits keep
+        # pointing at live jobs instead of orphans
+        recovered = self.jobs.recover_incomplete()
+        for job in recovered:
+            self.queue.enqueue(job)
+        if recovered:
+            self.logger.info("Recovered incomplete jobs", {"count": len(recovered)})
         self.blobs = BlobStore(self.store)
 
     # ------------------------------------------------------- job execution

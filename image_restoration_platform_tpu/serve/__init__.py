@@ -1,6 +1,6 @@
 from .store import MemoryStore, create_store
 from .redis_store import RedisStore
-from .durable import SqliteLedger, SqliteUserStore, create_durable_tier
+from .durable import SqliteJobStore, SqliteLedger, SqliteUserStore, create_durable_tier, create_job_store
 from .ratelimit import RateLimiter
 from .idempotency import IdempotencyService, payload_hash
 from .credits import CreditsService, DurableUserStore, Ledger
@@ -18,6 +18,8 @@ __all__ = [
     "SqliteUserStore",
     "SqliteLedger",
     "create_durable_tier",
+    "create_job_store",
+    "SqliteJobStore",
     "RateLimiter",
     "IdempotencyService",
     "payload_hash",

@@ -20,6 +20,7 @@ import time
 import uuid
 
 from ..utils.logging import get_logger
+from .jobs import Job, JobState, JobStore
 
 _log = get_logger("durable")
 
@@ -42,18 +43,36 @@ CREATE TABLE IF NOT EXISTS credit_ledger (
 );
 CREATE INDEX IF NOT EXISTS idx_ledger_job ON credit_ledger(job_id);
 CREATE INDEX IF NOT EXISTS idx_ledger_user ON credit_ledger(user_id);
+CREATE TABLE IF NOT EXISTS jobs (
+    id TEXT PRIMARY KEY,
+    user_id TEXT NOT NULL,
+    state TEXT NOT NULL,
+    created_at REAL NOT NULL,
+    updated_at REAL NOT NULL,
+    attempts INTEGER NOT NULL,
+    version INTEGER NOT NULL,
+    payload TEXT,
+    result TEXT,
+    error TEXT,
+    timings TEXT,
+    traceparent TEXT,
+    request_id TEXT
+);
+CREATE INDEX IF NOT EXISTS idx_jobs_user ON jobs(user_id);
+CREATE INDEX IF NOT EXISTS idx_jobs_state ON jobs(state);
 """
 
 _LEDGER_COLUMNS = ("userId", "jobId", "amount", "type", "reason", "originalTransactionId")
 
 
 class SqliteBackend:
-    """Shared connection + lock for the user store and ledger pair."""
+    """Shared connection + lock for the user store / ledger / job store."""
 
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.path = path
         self.lock = threading.RLock()
+        self.closed = False
         self.conn = sqlite3.connect(path, check_same_thread=False)
         self.conn.execute("PRAGMA journal_mode=WAL")
         self.conn.execute("PRAGMA synchronous=NORMAL")
@@ -62,7 +81,24 @@ class SqliteBackend:
 
     def close(self) -> None:
         with self.lock:
+            self.closed = True
             self.conn.close()
+
+
+_BACKENDS: dict[str, SqliteBackend] = {}
+_BACKENDS_LOCK = threading.Lock()
+
+
+def get_backend(path: str) -> SqliteBackend:
+    """Per-path backend singleton: the user store, ledger, and job store share
+    one connection + writer lock, matching SQLite's single-writer model."""
+    key = os.path.abspath(path)
+    with _BACKENDS_LOCK:
+        backend = _BACKENDS.get(key)
+        if backend is None or backend.closed:
+            backend = SqliteBackend(path)
+            _BACKENDS[key] = backend
+        return backend
 
 
 class SqliteUserStore:
@@ -166,14 +202,106 @@ class SqliteLedger:
         return [self._row_to_entry(r) for r in rows]
 
 
+class SqliteJobStore(JobStore):
+    """Durable job state machine over SQLite; drop-in for JobStore.
+
+    The reference's spec persists the job record + state machine in a
+    Firestore ``jobs`` collection (design.md:912-933, submit flow
+    design.md:114-129). Here every mutation writes through to the shared
+    SQLite file under the in-memory store's own lock, so a server restart
+    preserves queued/running/completed jobs, billed credits stay attached to
+    a recoverable job, and DLQ replay works across restarts. Reads, watcher
+    wakeups (SSE), and the transition rules all stay in-process — the rows
+    are the recovery source, loaded once at construction."""
+
+    _COLUMNS = (
+        "id, user_id, state, created_at, updated_at, attempts, version, "
+        "payload, result, error, timings, traceparent, request_id"
+    )
+
+    def __init__(self, backend: SqliteBackend, **kwargs):
+        self._b = backend
+        super().__init__(**kwargs)
+        self._load()
+
+    def _load(self) -> None:
+        with self._b.lock:
+            rows = self._b.conn.execute(
+                f"SELECT {self._COLUMNS} FROM jobs ORDER BY created_at, rowid"
+            ).fetchall()
+        with self._lock:
+            for row in rows:
+                job = self._row_to_job(row)
+                self._jobs[job.id] = job
+                self._order.append(job.id)
+
+    @staticmethod
+    def _row_to_job(row) -> Job:
+        load = lambda v, default: json.loads(v) if v else default
+        return Job(
+            id=row[0],
+            user_id=row[1],
+            state=JobState(row[2]),
+            created_at=row[3],
+            updated_at=row[4],
+            attempts=int(row[5]),
+            version=int(row[6]),
+            payload=load(row[7], {}),
+            result=load(row[8], None),
+            error=load(row[9], None),
+            timings=load(row[10], {}),
+            traceparent=row[11],
+            request_id=row[12],
+        )
+
+    def _persist_locked(self, job: Job) -> None:
+        dump = lambda v: json.dumps(v) if v else None
+        with self._b.lock:
+            self._b.conn.execute(
+                f"INSERT OR REPLACE INTO jobs ({self._COLUMNS}) "
+                "VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?)",
+                (
+                    job.id,
+                    job.user_id,
+                    job.state.value,
+                    job.created_at,
+                    job.updated_at,
+                    job.attempts,
+                    job.version,
+                    dump(job.payload),
+                    dump(job.result),
+                    dump(job.error),
+                    dump(job.timings),
+                    job.traceparent,
+                    job.request_id,
+                ),
+            )
+            self._b.conn.commit()
+
+    def _delete_locked(self, job_id: str) -> None:
+        with self._b.lock:
+            self._b.conn.execute("DELETE FROM jobs WHERE id = ?", (job_id,))
+            self._b.conn.commit()
+
+
 def create_durable_tier(path: str | None = None):
     """(user_store, ledger) pair: SQLite when a path is configured
     (DURABLE_DB_PATH), otherwise the in-memory defaults."""
     path = path or os.environ.get("DURABLE_DB_PATH")
     if path:
-        backend = SqliteBackend(path)
+        backend = get_backend(path)
         _log.info("Durable tier: sqlite", {"path": path})
         return SqliteUserStore(backend), SqliteLedger(backend)
     from .credits import DurableUserStore, Ledger
 
     return DurableUserStore(), Ledger()
+
+
+def create_job_store(path: str | None = None, **kwargs) -> JobStore:
+    """Job store on the same selection rule as the user/ledger tier: SQLite
+    (durable, crash-recoverable) when DURABLE_DB_PATH is set, else in-memory."""
+    path = path or os.environ.get("DURABLE_DB_PATH")
+    if path:
+        _log.info("Job store: sqlite", {"path": path})
+        return SqliteJobStore(get_backend(path), **kwargs)
+    return JobStore(**kwargs)

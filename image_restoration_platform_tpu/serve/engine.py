@@ -75,6 +75,7 @@ class RestorationEngine:
         self.logger = get_logger("engine")
         self._tracer = get_tracer("engine")
         self._compiled: dict = {}
+        self._compiling: dict = {}  # key_sig -> Event (single-flight compiles)
         self._sharded_params: dict[str, dict] = {}
         self._lock = threading.Lock()
         self.device_seconds_total = 0.0
@@ -245,20 +246,47 @@ class RestorationEngine:
         restore path, or a tuple like ("sr_tiled", family, ...)); ``fn`` and
         ``params`` default to the family program + family params.
         """
-        import hashlib
-        import os
-        import pickle
-
         family_name = tag if isinstance(tag, str) else tag[1]
         # the fold flag changes the param tree shapes for the same tag+args,
         # so it must key both the in-memory and the disk cache
         key_sig = (tag, ("fold_w", self._uses_folded(family_name))) + tuple(
             (tuple(a.shape), str(a.dtype)) for a in example_args if hasattr(a, "shape")
         )
-        with self._lock:
-            cached = self._compiled.get(key_sig)
-        if cached is not None:
-            return cached
+        # single-flight: exactly one thread compiles a given signature; the
+        # rest block on its completion and read the cache. Without this, a
+        # job retry whose first attempt timed out mid-compile launches a
+        # DUPLICATE compile of the same program; on the remote-compile TPU
+        # stack the duplicates contend and a cold-start job can burn its
+        # whole retry budget behind serially-piled compiles of one executable
+        # (observed live: 5 concurrent compiles, 0 finished in 13 min,
+        # job -> DLQ).
+        while True:
+            with self._lock:
+                cached = self._compiled.get(key_sig)
+                if cached is not None:
+                    return cached
+                flight = self._compiling.get(key_sig)
+                if flight is None:
+                    flight = threading.Event()
+                    self._compiling[key_sig] = flight
+                    break  # we own the compile
+            flight.wait()
+            # loop: either the owner cached the executable, or it failed and
+            # the next iteration takes ownership
+
+        try:
+            return self._compile_locked_out(key_sig, family_name, example_args, fn, params)
+        finally:
+            with self._lock:
+                self._compiling.pop(key_sig, None)
+            flight.set()
+
+    def _compile_locked_out(self, key_sig, family_name, example_args, fn, params):
+        """Body of _aot_executable once the calling thread owns the
+        single-flight slot for ``key_sig``."""
+        import hashlib
+        import os
+        import pickle
 
         fn = fn if fn is not None else self._compiled_fn(family_name)
         params = params if params is not None else self._params(family_name)

@@ -107,6 +107,7 @@ class JobStore:
         with self._lock:
             self._jobs[job.id] = job
             self._order.append(job.id)
+            self._persist_locked(job)
         return job
 
     def get(self, job_id: str) -> Job | None:
@@ -124,6 +125,7 @@ class JobStore:
             job.version += 1
             for key, value in updates.items():
                 setattr(job, key, value)
+            self._persist_locked(job)
             self._lock.notify_all()
             self._trim_locked()
             return job
@@ -171,6 +173,7 @@ class JobStore:
                 job.result = None
                 job.error = {"message": "Result expired per retention policy."}
                 job.version += 1
+                self._persist_locked(job)
                 purged += 1
         if purged:
             self._lock.notify_all()
@@ -190,3 +193,36 @@ class JobStore:
         for job_id in drop:
             self._jobs.pop(job_id, None)
             self._order.remove(job_id)
+            self._delete_locked(job_id)
+
+    # --------------------------------------------------- durability hooks
+    #
+    # No-ops for the in-memory store; SqliteJobStore (serve/durable.py)
+    # overrides them to write-through every mutation while keeping all state
+    # machine / watcher semantics here. Both are called under self._lock.
+
+    def _persist_locked(self, job: Job) -> None:
+        pass
+
+    def _delete_locked(self, job_id: str) -> None:
+        pass
+
+    def recover_incomplete(self) -> list[Job]:
+        """Crash recovery (design.md:912-933 durable state machine): jobs the
+        previous process left mid-flight come back as QUEUED so the composition
+        root can re-enqueue them. RUNNING means the worker died mid-attempt —
+        the attempt count is preserved so the retry budget still bounds work."""
+        with self._lock:
+            recovered = []
+            for job_id in self._order:
+                job = self._jobs[job_id]
+                if job.state is JobState.RUNNING:
+                    job.state = JobState.QUEUED
+                    job.updated_at = self._clock()
+                    job.version += 1
+                    self._persist_locked(job)
+                if job.state is JobState.QUEUED:
+                    recovered.append(job)
+            if recovered:
+                self._lock.notify_all()
+            return recovered
