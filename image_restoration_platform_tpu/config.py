@@ -122,6 +122,13 @@ class ServingConfig:
     )
     batch_delay_ms: int = field(default_factory=lambda: _env_int("RESTORATION_BATCH_DELAY_MS", 0))
     request_deadline_s: float = field(default_factory=lambda: _env_float("SERVE_DEADLINE_S", 120.0))
+    # host/device overlap: how many batches may be in flight on the device at
+    # once. 2 = double-buffering (batch N+1's H2D + launch overlap batch N's
+    # execute + D2H); 1 = fully serialized (the round-2 behavior)
+    pipeline_depth: int = field(default_factory=lambda: max(1, _env_int("SERVE_PIPELINE_DEPTH", 2)))
+    # anti-starvation bound: when any queue's oldest request has waited longer
+    # than this, the oldest-head queue is dispatched next regardless of depth
+    fairness_age_ms: float = field(default_factory=lambda: _env_float("SERVE_FAIRNESS_AGE_MS", 50.0))
     # opt-in: serve the UNet families in the W-folded layout (models/folded.py).
     # Width-pairs fold into lanes so small-channel convs fill the MXU — an
     # exact weight reparameterization that halves per-conv time (17% -> 68%

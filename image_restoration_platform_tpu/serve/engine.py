@@ -376,11 +376,29 @@ class RestorationEngine:
         is_jpeg: np.ndarray | None = None,
         family_name: str = "restore-unet",
     ) -> tuple[np.ndarray, np.ndarray, dict]:
-        """Fused classify+condition+restore step.
+        """Fused classify+condition+restore step (synchronous).
 
         canvas_u8 [N,B,B,3] letterboxed byte canvases, valid_hw [N,2] the
         un-padded (h, w) per image, is_jpeg [N] container flags. Returns
         (restored [N,B,B,3] u8, degradation scores [N,7], step metadata).
+        """
+        return self.restore_batch_async(canvas_u8, valid_hw, is_jpeg, family_name)()
+
+    def restore_batch_async(
+        self,
+        canvas_u8: np.ndarray,
+        valid_hw: np.ndarray | None = None,
+        is_jpeg: np.ndarray | None = None,
+        family_name: str = "restore-unet",
+    ):
+        """Stage + dispatch the fused restore program WITHOUT waiting for the
+        result; returns a fetch() closure that synchronizes and returns
+        (restored [N,B,B,3] u8, scores [N,7], meta).
+
+        This is the host/device-overlap primitive (SURVEY.md section 7 "hard
+        parts"): the micro-batcher dispatches batch N+1's H2D transfer and
+        launch while batch N is still executing, then fetches N — transfer
+        and compute pipeline instead of adding.
 
         The batch is padded to the next power-of-two bucket (repeating the
         last row) so every size hits a cached executable; padding work is
@@ -411,43 +429,48 @@ class RestorationEngine:
         multi_device = self._is_multi_device()
 
         t0 = time.perf_counter()
-        with device_trace(f"restore/{family_name}/{canvas_u8.shape[1]}x{canvas_u8.shape[2]}b{bucket}"):
-            if family_name == "diffusion-restore":
-                with self._lock:
-                    self._rng_key, step_key = jax.random.split(self._rng_key)
-                args = (imgs_d, valid_hw, is_jpeg_f, step_key)
-            else:
-                args = (imgs_d, valid_hw, is_jpeg_f)
-            # single- and multi-device both go through the executable cache;
-            # the lowering captures GSPMD shardings from the placed operands,
-            # so a mesh deployment reuses serialized executables instead of
-            # paying per-process compile storms (VERDICT round 1 weak #4)
-            tag = family_name if not multi_device else ("mesh", family_name, self._mesh_key())
-            executable = self._aot_executable(tag, args)
-            out, scores = executable(params, *args)
-            # ONE synchronizing fetch for both outputs: the transport here is
-            # latency-bound (~10-30 ms per host<->device round trip regardless
-            # of size), so block_until_ready + two np.asarray calls cost three
-            # round trips where one device_get costs one — measured 136 ms ->
-            # 72 ms per single-image request on the v5e tunnel.
-            t_fetch = time.perf_counter()
-            out_h, scores_h = jax.device_get((out, scores))
-        device_s = time.perf_counter() - t0
-        self.device_seconds_total += device_s
+        trace_label = f"restore/{family_name}/{canvas_u8.shape[1]}x{canvas_u8.shape[2]}b{bucket}"
+        if family_name == "diffusion-restore":
+            with self._lock:
+                self._rng_key, step_key = jax.random.split(self._rng_key)
+            args = (imgs_d, valid_hw, is_jpeg_f, step_key)
+        else:
+            args = (imgs_d, valid_hw, is_jpeg_f)
+        # single- and multi-device both go through the executable cache;
+        # the lowering captures GSPMD shardings from the placed operands,
+        # so a mesh deployment reuses serialized executables instead of
+        # paying per-process compile storms (VERDICT round 1 weak #4)
+        tag = family_name if not multi_device else ("mesh", family_name, self._mesh_key())
+        executable = self._aot_executable(tag, args)
+        out, scores = executable(params, *args)  # async dispatch
 
-        meta = {
-            "engineRequestId": uuid.uuid4().hex,
-            # includes the device->host fetch (the fetch is the only sync
-            # point, so compute and transfer are not separable here); the
-            # fetch-only span is reported alongside so MFU-style derivations
-            # can subtract transport (ADVICE r2)
-            "deviceSeconds": device_s,
-            "fetchSeconds": time.perf_counter() - t_fetch,
-            "batchBucket": bucket,
-            "batchOccupancy": n / bucket,
-            "family": family_name,
-        }
-        return np.asarray(out_h)[:n], np.asarray(scores_h)[:n], meta
+        def fetch() -> tuple[np.ndarray, np.ndarray, dict]:
+            with device_trace(trace_label):
+                # ONE synchronizing fetch for both outputs: the transport is
+                # latency-bound (~10-30 ms per host<->device round trip
+                # regardless of size), so block_until_ready + two np.asarray
+                # calls cost three round trips where one device_get costs one
+                # — measured 136 ms -> 72 ms per single-image request on the
+                # v5e tunnel.
+                t_fetch = time.perf_counter()
+                out_h, scores_h = jax.device_get((out, scores))
+            device_s = time.perf_counter() - t0
+            self.device_seconds_total += device_s
+            meta = {
+                "engineRequestId": uuid.uuid4().hex,
+                # includes the device->host fetch (the fetch is the only sync
+                # point, so compute and transfer are not separable here); the
+                # fetch-only span is reported alongside so MFU-style
+                # derivations can subtract transport (ADVICE r2)
+                "deviceSeconds": device_s,
+                "fetchSeconds": time.perf_counter() - t_fetch,
+                "batchBucket": bucket,
+                "batchOccupancy": n / bucket,
+                "family": family_name,
+            }
+            return np.asarray(out_h)[:n], np.asarray(scores_h)[:n], meta
+
+        return fetch
 
     def fuse_batch(
         self,
