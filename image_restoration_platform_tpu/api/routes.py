@@ -46,12 +46,15 @@ async def health_live(request: web.Request) -> web.Response:
 
 
 async def health_ready(request: web.Request) -> web.Response:
-    """Per-dependency readiness with ok/degraded/unavailable semantics
-    (healthRouter.js:80-116)."""
+    """Per-dependency readiness with ok/degraded/unavailable semantics and a
+    measured per-dependency latencyMs (healthRouter.js:4-71 times each probe
+    and embeds the figure in the dependency block)."""
     ctx: AppContext = request.app["ctx"]
     dependencies = {}
 
+    t_probe = time.perf_counter()
     mode = ctx.store.get_mode()
+    ctx.store.get("health:probe")  # real store round trip, not just the mode flag
     store_info = {"status": "ok", "mode": mode}
     if mode == "memory":
         store_info["status"] = "degraded"
@@ -59,8 +62,10 @@ async def health_ready(request: web.Request) -> web.Response:
     elif mode == "memory-fallback":
         store_info["status"] = "degraded"
         store_info["reason"] = "redis unavailable; degraded to in-memory fallback"
+    store_info["latencyMs"] = round((time.perf_counter() - t_probe) * 1000, 2)
     dependencies["store"] = store_info
 
+    t_probe = time.perf_counter()
     try:
         import jax
 
@@ -69,21 +74,31 @@ async def health_ready(request: web.Request) -> web.Response:
             "status": "ok",
             "platform": devices[0].platform,
             "deviceCount": len(devices),
+            "latencyMs": round((time.perf_counter() - t_probe) * 1000, 2),
         }
     except Exception as error:  # pragma: no cover
-        dependencies["device"] = {"status": "unavailable", "error": str(error)}
+        dependencies["device"] = {
+            "status": "unavailable",
+            "error": str(error),
+            "latencyMs": round((time.perf_counter() - t_probe) * 1000, 2),
+        }
 
+    t_probe = time.perf_counter()
+    imageio_ok = imageio.native_available()
     dependencies["imageio"] = (
         {"status": "ok", "backend": "native"}
-        if imageio.native_available()
+        if imageio_ok
         else {"status": "degraded", "backend": "pillow", "reason": "native codec unavailable"}
     )
+    dependencies["imageio"]["latencyMs"] = round((time.perf_counter() - t_probe) * 1000, 2)
 
     # backpressure signal: a deeply backed-up device queue degrades readiness
+    t_probe = time.perf_counter()
     queue_depth = (ctx.batcher.depth() if ctx.batcher else 0) + ctx.queue.depth()
     dependencies["servingQueue"] = {
         "status": "degraded" if queue_depth > 4 * ctx.config.serving.max_batch else "ok",
         "depth": queue_depth,
+        "latencyMs": round((time.perf_counter() - t_probe) * 1000, 2),
     }
 
     any_failure = any(d["status"] == "unavailable" for d in dependencies.values())
@@ -524,6 +539,17 @@ async def admin_profile(request: web.Request) -> web.Response:
     return web.json_response({"traceDir": trace_dir, "seconds": seconds})
 
 
+async def admin_traces(request: web.Request) -> web.Response:
+    """OTLP/JSON dump of the completed-span ring buffer — the export path the
+    reference spec'd (design.md:1494-1530) but left unbootstrapped. Point an
+    OTLP collector at this payload, or read it raw for debugging."""
+    _require_admin(request)
+    from ..obs.tracing import span_buffer
+
+    limit = min(512, int(request.query.get("limit", 512)))
+    return web.json_response(span_buffer().export_otlp(limit=limit))
+
+
 async def admin_replay(request: web.Request) -> web.Response:
     _require_admin(request)
     ctx: AppContext = request.app["ctx"]
@@ -594,6 +620,7 @@ def setup_routes(app: web.Application) -> None:
     app.router.add_get("/v1/admin/analytics", admin_analytics)
     app.router.add_post("/v1/admin/jobs/{job_id}/replay", admin_replay)
     app.router.add_post("/v1/admin/profile", admin_profile)
+    app.router.add_get("/v1/admin/traces", admin_traces)
     app.router.add_post("/v1/admin/credits/grant", admin_grant)
 
     async def preflight(request: web.Request) -> web.Response:

@@ -75,6 +75,10 @@ class TestHealth:
             assert "store" in body["dependencies"]
             assert "device" in body["dependencies"]
             assert "p95Ms" in body["metrics"]["requests"]
+            # per-dependency probe latency (healthRouter.js:4-71 parity)
+            for dep in body["dependencies"].values():
+                assert isinstance(dep["latencyMs"], (int, float))
+                assert 0 <= dep["latencyMs"] < 10_000
 
         run(ctx, check)
 
@@ -570,6 +574,37 @@ class TestAdmin:
                 "/v1/admin/analytics", headers={"Authorization": "Bearer dev-user-ops-team"}
             )
             assert resp.status == 200
+
+        run(ctx, check)
+
+    def test_traces_otlp_export(self, ctx, monkeypatch):
+        monkeypatch.setenv("ADMIN_USERS", "alice")
+
+        async def check(client):
+            # generate at least one span via a traced service path
+            from image_restoration_platform_tpu.obs.tracing import get_tracer
+
+            with get_tracer("test").span("test.span", {"k": "v", "n": 3}) as s:
+                s.add_event("checkpoint", {"i": 1})
+
+            resp = await client.get("/v1/admin/traces?limit=10", headers=AUTH)
+            assert resp.status == 200
+            body = await resp.json()
+            scope = body["resourceSpans"][0]["scopeSpans"][0]
+            spans = scope["spans"]
+            assert spans, "span ring should not be empty"
+            ours = [s for s in spans if s["name"] == "test.span"]
+            assert ours
+            span = ours[-1]
+            # OTLP/JSON shape: ids, epoch-nano stamps, typed attributes
+            assert len(span["traceId"]) == 32 and len(span["spanId"]) == 16
+            assert int(span["endTimeUnixNano"]) >= int(span["startTimeUnixNano"])
+            assert int(span["startTimeUnixNano"]) > 1_600_000_000 * 10**9
+            attrs = {a["key"]: a["value"] for a in span["attributes"]}
+            assert attrs["k"] == {"stringValue": "v"}
+            assert attrs["n"] == {"intValue": "3"}
+            assert span["status"]["code"] == 1  # OK
+            assert span["events"][0]["name"] == "checkpoint"
 
         run(ctx, check)
 
