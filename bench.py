@@ -14,6 +14,7 @@ on this machine (1-core CPU, XLA:CPU, flagship restore-unet, 512px e2e):
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -124,6 +125,41 @@ def main() -> None:
         + (f" | MFU {mfu*100:.1f}%" if mfu else "")
     )
 
+    # ---- per-family first-request (cold: compile or disk-cache load) vs
+    # warm steady latency. Covers every documented serving surface so the
+    # boot-warmup story (engine.warmup_serving / SERVE_WARMUP_FAMILIES) is
+    # measured, not asserted. Budget-bounded so a cold compile cascade can't
+    # blow the bench; skipped surfaces are logged.
+    budget_s = float(os.environ.get("BENCH_FAMILY_BUDGET_S", "1200"))
+    t_budget = time.time()
+    img256 = img[:256, :256]
+    surfaces = [
+        ("restore-unet-small", lambda: service.restore(photo, options={"model": "restore-unet-small"})),
+        ("diffusion-restore", lambda: service.restore(photo, options={"model": "diffusion-restore"})),
+        ("sr-x2-direct", lambda: service.restore(
+            imageio.encode_jpeg(img256, quality=80), options={"model": "sr-x2"})),
+        ("sr-x2-tiled-2048", lambda: engine.sr_tiled(
+            np.repeat(np.repeat(img, 4, axis=0), 4, axis=1), "sr-x2")),
+        ("fusion-k3", lambda: engine.fuse_batch(
+            np.repeat(img[None], 3, axis=0),
+            np.tile(np.asarray([[512, 512]], np.int32), (3, 1)),
+            np.ones((3,), np.float32))),
+    ]
+    family_lat = {}
+    for name, call in surfaces:
+        if time.time() - t_budget > budget_s:
+            log(f"family bench: budget exhausted, skipping {name}")
+            family_lat[name] = None
+            continue
+        t = time.time()
+        call()
+        cold_ms = (time.time() - t) * 1000
+        t = time.time()
+        call()
+        warm_ms = (time.time() - t) * 1000
+        family_lat[name] = {"cold_ms": round(cold_ms, 1), "warm_ms": round(warm_ms, 1)}
+        log(f"family {name}: cold {cold_ms:.0f} ms -> warm {warm_ms:.0f} ms")
+
     print(
         json.dumps(
             {
@@ -137,6 +173,7 @@ def main() -> None:
                     "batched_images_per_sec_per_chip": round(batched_ips, 3),
                     "device_ms_per_image_b8": round(device_ms_per_image, 3),
                     "mfu": round(mfu, 4) if mfu else None,
+                    "family_first_request": family_lat,
                 },
             }
         ),

@@ -70,18 +70,27 @@ def main() -> None:
     ctx = AppContext(config=config)
     warmup = os.environ.get("SERVE_WARMUP", "")
     if warmup:
-        # e.g. SERVE_WARMUP=256,512 — compile-cache warmup before accepting
-        # traffic; with the persistent XLA cache this is fast after first boot
+        # SERVE_WARMUP=256,512 picks the size buckets to warm before accepting
+        # traffic; SERVE_WARMUP_FAMILIES widens coverage beyond the flagship:
+        # a comma list of family names plus the pseudo-surface "fusion", or
+        # "all" for every registered family + fusion — so the first SR, tiled
+        # SR, fusion, or diffusion request never pays an in-request compile.
+        # With the persistent executable cache this is fast after first boot.
         sizes = tuple(int(s) for s in warmup.split(",") if s)
-        # every power-of-two batch bucket must be warm, or the first mixed
-        # burst of traffic head-of-line blocks behind b2/b4 compiles
-        batches = []
-        b = 1
-        while b <= config.serving.max_batch:
-            batches.append(b)
-            b *= 2
-        _log.info("Warming serving executables", {"buckets": list(sizes), "batches": batches})
-        ctx.engine.warmup(sizes=sizes, batches=tuple(batches))
+        fam_env = os.environ.get("SERVE_WARMUP_FAMILIES", "")
+        if fam_env.strip().lower() == "all":
+            from ..models import list_families
+
+            families = tuple(list_families()) + ("fusion",)
+        elif fam_env:
+            families = tuple(f.strip() for f in fam_env.split(",") if f.strip())
+        else:
+            families = ("restore-unet",)
+        _log.info(
+            "Warming serving executables", {"buckets": list(sizes), "families": list(families)}
+        )
+        report = ctx.engine.warmup_serving(families=families, sizes=sizes)
+        _log.info("Warmup report", {k: round(v, 2) for k, v in report.items()})
     app = create_app(ctx=ctx, config=config)
     _log.info("Starting server", {"port": config.port})
     web.run_app(app, port=config.port, print=None)

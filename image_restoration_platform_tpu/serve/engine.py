@@ -778,3 +778,77 @@ class RestorationEngine:
             "Warmup complete", {"family": family_name, "sizes": list(sizes), "seconds": round(warm_s, 1)}
         )
         return warm_s
+
+    SR_TILE_THRESHOLD = 512  # mirror of RestoratorService.SR_TILE_THRESHOLD
+    SR_TILED_CANVAS = 2048   # the documented 2K->4K bucket
+
+    def warmup_serving(
+        self,
+        families: tuple[str, ...] = ("restore-unet",),
+        sizes: tuple[int, ...] | None = None,
+        batches: tuple[int, ...] | None = None,
+        fusion_k: tuple[int, ...] = (3,),
+        sr_tiled_canvas: int | None = None,
+    ) -> dict:
+        """Warm EVERY documented serving surface so no endpoint pays an
+        in-request compile after boot.
+
+        ``families`` holds model family names plus the pseudo-surface
+        ``"fusion"`` (k-image fuse_batch on the flagship). Restore-style
+        families (restore-unet, restore-unet-small, diffusion-restore) warm
+        every (size bucket x power-of-two batch bucket) the micro-batcher can
+        form. SR families warm the direct path at buckets <=
+        SR_TILE_THRESHOLD plus the tiled 2K->4K canvas — the routes
+        _restore_sr actually takes (serve/restorator.py). Returns
+        {surface: seconds} per warmed surface.
+        """
+        sizes = sizes or self.config.size_buckets
+        if batches is None:
+            batches, b = [], 1
+            while b <= self.config.max_batch:
+                batches.append(b)
+                b *= 2
+            batches = tuple(batches)
+        report: dict[str, float] = {}
+
+        def timed(tag, fn):
+            t0 = time.perf_counter()
+            fn()
+            report[tag] = round(time.perf_counter() - t0, 3)
+
+        for fam in families:
+            if fam == "fusion":
+                for size in sizes:
+                    for k in fusion_k:
+                        canvas = np.zeros((k, size, size, 3), dtype=np.uint8)
+                        vhw = np.tile(np.asarray([[size, size]], np.int32), (k, 1))
+                        jf = np.zeros((k,), np.float32)
+                        timed(
+                            f"fusion/k{k}/{size}",
+                            lambda c=canvas, v=vhw, j=jf: self.fuse_batch(c, v, j),
+                        )
+            elif fam.startswith("sr-"):
+                for size in sizes:
+                    if size <= self.SR_TILE_THRESHOLD:
+                        img = np.zeros((1, size, size, 3), dtype=np.uint8)
+                        timed(f"{fam}/direct/{size}", lambda i=img, f=fam: self.sr_batch(i, f))
+                tc = sr_tiled_canvas or self.SR_TILED_CANVAS
+                canvas = np.zeros((tc, tc, 3), dtype=np.uint8)
+                tile = min(256, tc)  # clamp for small test canvases
+                timed(
+                    f"{fam}/tiled/{tc}",
+                    lambda c=canvas, f=fam, t=tile: self.sr_tiled(c, f, tile=t),
+                )
+            else:
+                for size in sizes:
+                    for batch in batches:
+                        imgs = np.zeros((batch, size, size, 3), dtype=np.uint8)
+                        timed(
+                            f"{fam}/restore/{size}/b{batch}",
+                            lambda i=imgs, f=fam: self.restore_batch(i, family_name=f),
+                        )
+        self.logger.info(
+            "Serving warmup complete",
+            {"surfaces": len(report), "seconds": round(sum(report.values()), 1)},
+        )
+        return report

@@ -40,3 +40,46 @@ def test_concurrent_requests_compile_once(tmp_path, monkeypatch):
     assert engine.compile_count == 1
     for out in results[1:]:
         np.testing.assert_array_equal(out, results[0])
+
+
+def test_warmup_serving_covers_every_surface(tmp_path, monkeypatch):
+    """VERDICT r2 item 6: after warmup_serving, no documented surface pays an
+    in-request compile — restore buckets (all batch buckets), SR direct+tiled,
+    fusion k=3, and the diffusion family."""
+    monkeypatch.setenv("IRP_EXEC_CACHE_DIR", str(tmp_path))
+    engine = RestorationEngine(
+        serving_config=ServingConfig(size_buckets=(32,), max_batch=2)
+    )
+    report = engine.warmup_serving(
+        families=("restore-unet-small", "diffusion-restore", "sr-x2", "fusion"),
+        sr_tiled_canvas=96,
+        fusion_k=(3,),
+    )
+    # every surface appears in the report
+    tags = set(report)
+    assert {"restore-unet-small/restore/32/b1", "restore-unet-small/restore/32/b2"} <= tags
+    assert {"diffusion-restore/restore/32/b1", "diffusion-restore/restore/32/b2"} <= tags
+    assert {"sr-x2/direct/32", "sr-x2/tiled/96"} <= tags
+    assert "fusion/k3/32" in tags
+    compiles_after_warm = engine.compile_count
+
+    rng = np.random.default_rng(1)
+    img32 = rng.integers(0, 255, (1, 32, 32, 3)).astype(np.uint8)
+    vhw = np.asarray([[32, 32]], np.int32)
+    jf = np.zeros((1,), np.float32)
+    engine.restore_batch(img32, vhw, jf, "restore-unet-small")
+    engine.restore_batch(img32, vhw, jf, "diffusion-restore")
+    engine.restore_batch(np.repeat(img32, 2, axis=0), family_name="restore-unet-small")
+    engine.sr_batch(img32, "sr-x2")
+    engine.sr_tiled(
+        rng.integers(0, 255, (96, 96, 3)).astype(np.uint8), "sr-x2", tile=96
+    )
+    engine.fuse_batch(
+        np.repeat(img32, 3, axis=0),
+        np.tile(vhw, (3, 1)),
+        np.zeros((3,), np.float32),
+        "restore-unet",
+    )
+    assert engine.compile_count == compiles_after_warm, (
+        "a warmed surface recompiled in-request"
+    )
