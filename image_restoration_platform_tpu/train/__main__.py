@@ -24,9 +24,9 @@ def psnr(a, b):
     return 10.0 * np.log10(1.0 / max(mse, 1e-10))
 
 
-def evaluate(params, family_name, key, n=16, size=128):
+def evaluate(params, family_name, key, n=16, size=128, photo=False):
     family = get_family(family_name)
-    degraded, clean, cond = synthetic_batch(key, n, DataConfig(size=size))
+    degraded, clean, cond = synthetic_batch(key, n, DataConfig(size=size, photo=photo))
     if family_name == "diffusion-restore":
         restored = family.apply(params, degraded, cond, key, family.config)
         return psnr(degraded, clean), psnr(restored, clean)
@@ -83,6 +83,7 @@ def main() -> None:
         total_steps=steps,
         diffusion_sampler_steps=int(os.environ.get("TRAIN_DIFFUSION_SAMPLER_STEPS", 0)),
         identity_weight=float(os.environ.get("TRAIN_IDENTITY_WEIGHT", 3.0)),
+        data_photo=os.environ.get("TRAIN_DATA_PHOTO", "1") == "1",
     )
     ckpt_dir = os.environ.get("TRAIN_CKPT_DIR")
     trainer = Trainer(
@@ -92,7 +93,7 @@ def main() -> None:
     )
 
     eval_key = jax.random.PRNGKey(999)
-    base_psnr, init_psnr = evaluate(trainer.state[0], family, eval_key, size=cfg.image_size)
+    base_psnr, init_psnr = evaluate(trainer.state[0], family, eval_key, size=cfg.image_size, photo=cfg.data_photo)
     log.info("pre-train eval", {"degradedPsnr": round(base_psnr, 2), "modelPsnr": round(init_psnr, 2)})
 
     t0 = time.time()
@@ -112,7 +113,7 @@ def main() -> None:
         trainer.run(steps, log_every=max(1, steps // 40))
     log.info("training done", {"steps": steps, "seconds": round(time.time() - t0, 1)})
 
-    _, final_psnr = evaluate(trainer.state[0], family, eval_key, size=cfg.image_size)
+    _, final_psnr = evaluate(trainer.state[0], family, eval_key, size=cfg.image_size, photo=cfg.data_photo)
     log.info(
         "post-train eval",
         {

@@ -19,6 +19,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.stencil import gaussian_blur
 
@@ -37,6 +38,11 @@ class DataConfig:
     rich: bool = True
     # fraction of examples kept fully clean (identity / no-harm training)
     clean_fraction: float = 0.15
+    # photographic-physics round-3 distribution (OOD robustness, VERDICT r2
+    # missing #2): adds flat/saturated geometric content families and
+    # physical degradation variants (disk/motion PSF blur, signal-dependent
+    # sensor noise, DCT-quantization compression, vignette+gamma low light)
+    photo: bool = False
 
 
 def _random_clean(key, n, size, channels):
@@ -180,6 +186,229 @@ def _random_clean_rich(key, n, size, channels):
     return jnp.clip(img, 0.0, 1.0)
 
 
+def _flat_scene(key, n, size, channels):
+    """Opaque layered rectangles/ellipses with flat saturated colors over a
+    two-color ramp — poster/architectural statistics: large constant regions
+    meeting at sharp boundaries. The round-2 model collapsed on exactly this
+    content (scored blur~1/colorShift~1, then 'corrected' a clean image);
+    training must contain it paired with identity targets."""
+    ks = jax.random.split(key, 4)
+    yy = jnp.linspace(0.0, 1.0, size)[None, :, None, None]
+    xx = jnp.linspace(0.0, 1.0, size)[None, None, :, None]
+    c0 = jax.random.uniform(ks[0], (n, 1, 1, channels), minval=0.05, maxval=0.95)
+    c1 = jax.random.uniform(ks[1], (n, 1, 1, channels), minval=0.05, maxval=0.95)
+    img = c0 * (1.0 - yy) + c1 * yy
+    layers = 6
+    lk = jax.random.split(ks[2], layers)
+    sharp = 60.0  # ~half-pixel anti-aliased edge at 128px
+    for i in range(layers):
+        p = jax.random.uniform(lk[i], (n, 9))
+        cy, cx = 0.1 + 0.8 * p[:, 0], 0.1 + 0.8 * p[:, 1]
+        hh, ww = 0.05 + 0.3 * p[:, 2], 0.05 + 0.3 * p[:, 3]
+        rect = jax.nn.sigmoid(
+            (hh[:, None, None, None] - jnp.abs(yy - cy[:, None, None, None])) * sharp
+        ) * jax.nn.sigmoid(
+            (ww[:, None, None, None] - jnp.abs(xx - cx[:, None, None, None])) * sharp
+        )
+        ell = jax.nn.sigmoid(
+            (
+                1.0
+                - jnp.square((yy - cy[:, None, None, None]) / hh[:, None, None, None])
+                - jnp.square((xx - cx[:, None, None, None]) / ww[:, None, None, None])
+            )
+            * 14.0
+        )
+        mask = jnp.where(p[:, 4][:, None, None, None] < 0.5, ell, rect)
+        color = p[:, 5:8][:, None, None, :] * 0.9 + 0.05
+        alpha = (0.6 + 0.4 * p[:, 8])[:, None, None, None]
+        img = img * (1.0 - mask * alpha) + color * mask * alpha
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def _soft_cells(key, n, size, channels, k=10):
+    """Soft nearest-center cell mosaic (softmax membership over k centers):
+    near-flat curved regions with a coherent saturated palette — the jax
+    counterpart of stained-glass content, constructed differently from the
+    numpy argmin-Voronoi OOD *eval* generator (train/ood.py stays disjoint)."""
+    ks = jax.random.split(key, 4)
+    centers = jax.random.uniform(ks[0], (n, k, 2))
+    # palette along a smooth random curve in RGB (coherent color scheme)
+    base = jax.random.uniform(ks[1], (n, 1, 3), minval=0.15, maxval=0.85)
+    direction = jax.random.normal(ks[2], (n, 1, 3))
+    direction = direction / (jnp.linalg.norm(direction, axis=-1, keepdims=True) + 1e-9)
+    t = jnp.linspace(-0.5, 0.5, k)[None, :, None]
+    wobble = 0.1 * jax.random.normal(ks[3], (n, k, 3))
+    colors = jnp.clip(base + t * direction * 0.7 + wobble, 0.03, 0.97)
+    yy = jnp.linspace(0.0, 1.0, size)[None, None, :, None]
+    xx = jnp.linspace(0.0, 1.0, size)[None, None, None, :]
+    d2 = jnp.square(yy - centers[:, :, 0:1, None]) + jnp.square(
+        xx - centers[:, :, 1:2, None]
+    )  # [n, k, h, w]
+    w = jax.nn.softmax(-d2 * 220.0, axis=1)  # sharp-but-AA cell boundaries
+    img = jnp.einsum("nkhw,nkc->nhwc", w, colors)
+    shade = 1.0 - 0.2 * jnp.sqrt(jnp.sum(w * d2, axis=1))[..., None]
+    return jnp.clip(img * shade, 0.0, 1.0)
+
+
+def _clean_photo_mix(key, n, size, channels):
+    """Round-3 clean distribution: rich natural-statistics images plus the
+    flat/saturated geometric families the round-2 model had never seen."""
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    rich = _random_clean_rich(k0, n, size, channels)
+    flat = _flat_scene(k1, n, size, channels)
+    cells = _soft_cells(k2, n, size, channels)
+    u = jax.random.uniform(k3, (n, 1, 1, 1))
+    return jnp.where(u < 0.22, flat, jnp.where(u < 0.40, cells, rich))
+
+
+# ------------------------------------------------- photographic degradations
+
+
+def _build_psf_bank(ksize: int = 15) -> np.ndarray:
+    """Static kernel bank: disk-defocus PSFs (hard-edged frequency response
+    with nulls) and motion-line PSFs at 4 angles — optics the training
+    Gaussian never produced."""
+    kernels = []
+    r0 = ksize // 2
+    yy, xx = np.mgrid[-r0 : r0 + 1, -r0 : r0 + 1].astype(np.float32)
+    for radius in (1.5, 2.5, 3.5):
+        psf = np.clip(radius + 0.5 - np.sqrt(yy**2 + xx**2), 0.0, 1.0)
+        kernels.append(psf / psf.sum())
+    for length in (5.0, 9.0, 13.0):
+        for ang in (0.0, np.pi / 4, np.pi / 2, 3 * np.pi / 4):
+            t = xx * np.cos(ang) + yy * np.sin(ang)
+            dperp = -xx * np.sin(ang) + yy * np.cos(ang)
+            psf = np.clip(1.0 - np.abs(dperp), 0, 1) * (np.abs(t) <= length / 2)
+            kernels.append(psf / psf.sum())
+    return np.stack(kernels).astype(np.float32)  # [15, ksize, ksize]
+
+
+_PSF_BANK = jnp.asarray(_build_psf_bank())
+
+
+def _psf_blur(x, idx, strength):
+    """Per-image PSF blur from the bank, mixed by strength (a partial mix
+    models the haze of slight defocus)."""
+    kernels = _PSF_BANK[idx]  # [n, kh, kw]
+
+    def one(im, ker):
+        im_c = jnp.transpose(im, (2, 0, 1))[:, None]  # [C,1,H,W]
+        out = jax.lax.conv_general_dilated(im_c, ker[None, None], (1, 1), "SAME")
+        return jnp.transpose(out[:, 0], (1, 2, 0))
+
+    blurred = jax.vmap(one)(x, kernels)
+    s = strength[:, None, None, None]
+    return x * (1.0 - s) + blurred * s
+
+
+def _signal_noise(key, x, strength):
+    """Poisson-Gaussian sensor model (Gaussian approximation of shot noise):
+    variance = a*intensity + b, vs the training AWGN's flat variance."""
+    a = jnp.square(strength * 0.13)[:, None, None, None]
+    b = jnp.square(strength * 0.04)[:, None, None, None]
+    std = jnp.sqrt(a * jnp.clip(x, 0.0, 1.0) + b)
+    return x + jax.random.normal(key, x.shape) * std
+
+
+def _vignette_dark(x, strength):
+    """Radial vignette + gamma crush — spatially varying underexposure vs the
+    training low-light's uniform linear gain."""
+    size = x.shape[1]
+    yy = jnp.linspace(-1.0, 1.0, size)[None, :, None, None]
+    xx = jnp.linspace(-1.0, 1.0, size)[None, None, :, None]
+    r2 = yy * yy + xx * xx
+    s = strength[:, None, None, None]
+    vig = jnp.clip(1.0 - 0.45 * s * r2, 0.0, 1.0)
+    gamma = 1.0 + 1.1 * s
+    return jnp.power(jnp.clip(x * vig, 1e-6, 1.0), gamma)
+
+
+# standard JPEG annex-K quantization tables
+_JPEG_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float32,
+)
+_JPEG_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float32,
+)
+
+
+def _dct8_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None].astype(np.float32)
+    i = np.arange(8)[None, :].astype(np.float32)
+    m = np.sqrt(2.0 / 8.0) * np.cos(np.pi * (2 * i + 1) * k / 16.0)
+    m[0] /= np.sqrt(2.0)
+    return m.astype(np.float32)
+
+
+_DCT8 = jnp.asarray(_dct8_matrix())
+
+
+def _quant_channel(v, table, qscale):
+    """8x8 block DCT quantize/dequantize one channel. v [N,H,W] in [-128,127];
+    qscale [N] is the JPEG quality scale factor."""
+    n, h, w = v.shape
+    blocks = v.reshape(n, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4)
+    coef = jnp.einsum("ab,nijbc,dc->nijad", _DCT8, blocks, _DCT8)
+    qt = jnp.clip(table[None, None, None] * qscale[:, None, None, None, None], 1.0, 255.0)
+    qc = jnp.round(coef / qt) * qt
+    rec = jnp.einsum("ba,nijbc,cd->nijad", _DCT8, qc, _DCT8)
+    return rec.transpose(0, 1, 3, 2, 4).reshape(n, h, w)
+
+
+def _jpeg_analog(x, strength):
+    """Real-DCT compression model: YCbCr transform, 2x2 chroma subsampling,
+    annex-K table quantization at quality 92 -> 12 as strength rises — true
+    ringing/blocking spectra, vs the round-1/2 8x8 block-average analog."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = (b - y) * 0.564 + 0.5
+    cr = (r - y) * 0.713 + 0.5
+
+    q = 92.0 - 80.0 * strength  # JPEG quality in [12, 92]
+    qscale = jnp.where(q < 50.0, 50.0 / q, 2.0 - q / 50.0)
+
+    y_q = _quant_channel(y * 255.0 - 128.0, _JPEG_LUMA, qscale)
+    # chroma: 2x2 subsample -> quantize -> upsample (4:2:0)
+    n, h, w = cb.shape
+
+    def sub(ch):
+        return ch.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+
+    def up(ch):
+        return jnp.repeat(jnp.repeat(ch, 2, axis=1), 2, axis=2)
+
+    cb_q = up(_quant_channel(sub(cb) * 255.0 - 128.0, _JPEG_CHROMA, qscale))
+    cr_q = up(_quant_channel(sub(cr) * 255.0 - 128.0, _JPEG_CHROMA, qscale))
+
+    y2 = (y_q + 128.0) / 255.0
+    cb2 = (cb_q + 128.0) / 255.0 - 0.5
+    cr2 = (cr_q + 128.0) / 255.0 - 0.5
+    r2 = y2 + cr2 / 0.713
+    b2 = y2 + cb2 / 0.564
+    g2 = (y2 - 0.299 * r2 - 0.114 * b2) / 0.587
+    return jnp.clip(jnp.stack([r2, g2, b2], axis=-1), 0.0, 1.0)
+
+
 def _degrade(key, clean, cfg: DataConfig):
     """Apply random degradations; returns (degraded, applied strengths [N,7])."""
     n = clean.shape[0]
@@ -210,17 +439,36 @@ def _degrade(key, clean, cfg: DataConfig):
     low = jnp.floor(level).astype(jnp.int32)
     frac = level - low
     idx = jnp.arange(n)
-    x = blurred[idx, low] * (1 - frac)[:, None, None, None] + blurred[
+    x_gauss = blurred[idx, low] * (1 - frac)[:, None, None, None] + blurred[
         idx, jnp.minimum(low + 1, 3)
     ] * frac[:, None, None, None]
+    if cfg.photo:
+        # photographic optics variant: disk-defocus / motion-line PSF bank
+        kb1, kb2 = jax.random.split(jax.random.fold_in(key, 21))
+        use_psf = jax.random.bernoulli(kb1, 0.5, (n, 1, 1, 1))
+        psf_idx = jax.random.randint(kb2, (n,), 0, _PSF_BANK.shape[0])
+        x = jnp.where(use_psf, _psf_blur(x, psf_idx, strength[:, 0]), x_gauss)
+    else:
+        x = x_gauss
 
     # noise
     noise = jax.random.normal(keys[2], x.shape) * (strength[:, 1] * cfg.max_noise_std)[:, None, None, None]
-    x = x + noise
+    if cfg.photo:
+        # sensor variant: signal-dependent Poisson-Gaussian
+        kn1, kn2 = jax.random.split(jax.random.fold_in(key, 22))
+        use_sig = jax.random.bernoulli(kn1, 0.5, (n, 1, 1, 1))
+        x = jnp.where(use_sig, _signal_noise(kn2, x, strength[:, 1]), x + noise)
+    else:
+        x = x + noise
 
     # low light
     gain = 1.0 - strength[:, 2] * cfg.max_dark_gain
-    x = x * gain[:, None, None, None]
+    x_gain = x * gain[:, None, None, None]
+    if cfg.photo:
+        use_vig = jax.random.bernoulli(jax.random.fold_in(key, 23), 0.5, (n, 1, 1, 1))
+        x = jnp.where(use_vig, _vignette_dark(x, strength[:, 2]), x_gain)
+    else:
+        x = x_gain
 
     # compression analog: 8x8 block-average mix (blocking artifacts)
     b = 8
@@ -228,9 +476,18 @@ def _degrade(key, clean, cfg: DataConfig):
     blocks = x[:, : nh * b, : nw * b].reshape(n, nh, b, nw, b, -1).mean(axis=(2, 4))
     blocky = jnp.repeat(jnp.repeat(blocks, b, axis=1), b, axis=2)
     comp = strength[:, 3][:, None, None, None] * 0.7
-    x = x.at[:, : nh * b, : nw * b].set(
+    x_blocky = x.at[:, : nh * b, : nw * b].set(
         x[:, : nh * b, : nw * b] * (1 - comp) + blocky * comp
     )
+    if cfg.photo and x.shape[1] % 16 == 0 and x.shape[2] % 16 == 0:
+        # real-DCT variant: annex-K quantization in YCbCr with 4:2:0 chroma,
+        # active only where the compression strength is non-zero
+        x_dct = _jpeg_analog(jnp.clip(x, 0.0, 1.0), strength[:, 3])
+        s_on = (strength[:, 3] > 0.01)[:, None, None, None]
+        use_dct = jax.random.bernoulli(jax.random.fold_in(key, 24), 0.5, (n, 1, 1, 1))
+        x = jnp.where(use_dct & s_on, x_dct, x_blocky)
+    else:
+        x = x_blocky
 
     # scratch: random thin bright line
     size = x.shape[1]
@@ -271,7 +528,10 @@ def synthetic_batch(key: jax.Array, n: int, cfg: DataConfig = DataConfig()):
     from ..classify.fused import batch_classify_and_condition
 
     k_clean, k_deg, k_jpeg = jax.random.split(key, 3)
-    gen = _random_clean_rich if cfg.rich else _random_clean
+    if cfg.photo:
+        gen = _clean_photo_mix
+    else:
+        gen = _random_clean_rich if cfg.rich else _random_clean
     clean = gen(k_clean, n, cfg.size, cfg.channels)
     degraded, _strength = _degrade(k_deg, clean, cfg)
     is_jpeg = jax.random.bernoulli(k_jpeg, 0.7, (n,)).astype(jnp.float32)

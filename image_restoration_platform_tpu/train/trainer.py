@@ -54,6 +54,8 @@ class TrainConfig:
     # loss — sampler-aware fine-tuning that makes very low step counts
     # (1-2) match the quality of the 8-step sampler at serving time
     diffusion_sampler_steps: int = 0
+    # round-3 photographic-physics data distribution (DataConfig.photo)
+    data_photo: bool = False
 
 
 def charbonnier(pred, target, eps):
@@ -241,7 +243,7 @@ class Trainer:
                 self.state = (params, opt_state, step)
                 self.logger.info("warm-started from weights", {"path": path})
         self.checkpoint_dir = checkpoint_dir
-        self._data_cfg = DataConfig(size=cfg.image_size)
+        self._data_cfg = DataConfig(size=cfg.image_size, photo=cfg.data_photo)
 
     def place_batch(self, batch):
         if self.mesh is None:
