@@ -263,6 +263,14 @@ class RestoratorService:
 
     SR_TILE_THRESHOLD = 512  # above this bucket, tile + overlap-blend
 
+    def _spatial_shards(self) -> int:
+        mesh = getattr(self.engine, "mesh", None)
+        if mesh is None:
+            return 1
+        from ..parallel.mesh import AXIS_SPATIAL
+
+        return int(mesh.shape.get(AXIS_SPATIAL, 1))
+
     def _restore_sr(self, pixels, fmt, family, timings, start, span) -> dict:
         """Large-image super-resolution: direct SRNet for small inputs, tiled
         overlap-blend for large ones (BASELINE.json config 3)."""
@@ -275,6 +283,11 @@ class RestoratorService:
         if bucket <= self.SR_TILE_THRESHOLD:
             out_batch, engine_meta = self.engine.sr_batch(canvas[None], family)
             out_canvas = out_batch[0]
+        elif self._spatial_shards() > 1:
+            # a spatial mesh axis exists: row-shard the huge canvas with
+            # per-layer halo exchange instead of tile-batching (VERDICT r2
+            # next #10 — the long-context analog of sequence parallelism)
+            out_canvas, engine_meta = self.engine.sr_spatial(canvas, family)
         else:
             out_canvas, engine_meta = self.engine.sr_tiled(canvas, family)
         restored = out_canvas[: sh * scale, : sw * scale]

@@ -111,8 +111,60 @@ def test_sr_spatial_matches_single_device(cpu_devices):
     assert diff[boundary_rows].mean() <= max(0.5, diff.mean() * 1.5)
 
 
-def test_sr_spatial_rejects_bad_geometry(cpu_devices):
+def test_sr_spatial_pads_arbitrary_heights(cpu_devices):
+    """Heights not divisible by the spatial axis zero-pad to the next multiple
+    and crop (VERDICT r2 next #10). Semantics: bit-identical to the
+    single-device program on the same zero-padded canvas, cropped."""
+    import jax
+    import jax.numpy as jnp
+
     mesh = make_mesh(data=1, tensor=1, spatial=8)
     engine = RestorationEngine(mesh=mesh, serving_config=ServingConfig(size_buckets=(32,)))
-    with pytest.raises(ValueError):
-        engine.sr_spatial(np.zeros((100, 64, 3), np.uint8))  # 100 % 8 != 0
+    from image_restoration_platform_tpu.models import get_family
+
+    family = get_family("sr-x2")
+    scale = family.config.scale
+    canvas = np.random.default_rng(6).integers(0, 256, (101, 64, 3), dtype=np.uint8)
+
+    out, meta = engine.sr_spatial(canvas, family_name="sr-x2")
+    assert meta["paddedRows"] == 3
+    assert out.shape == (101 * scale, 64 * scale, 3)
+
+    padded = np.concatenate([canvas, np.zeros((3, 64, 3), np.uint8)], axis=0)  # to 104 = 8*13
+    params = engine.params_cache.get("sr-x2")
+
+    def reference(params, canvas_f):
+        x = canvas_f[None].astype(engine.dtype) / engine.dtype(255.0)
+        o = family.apply(params, x, family.config)[0].astype(jnp.float32) * 255.0
+        return jnp.round(jnp.clip(o, 0, 255)).astype(jnp.uint8)
+
+    out_ref = np.asarray(
+        jax.jit(reference)(jax.device_put(params), padded.astype(np.float32))
+    )[: 101 * scale]
+    diff = np.abs(out.astype(int) - out_ref.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()} vs padded single-device reference"
+
+
+def test_restorator_routes_huge_canvas_to_spatial_mesh(cpu_devices, monkeypatch):
+    """With a spatial mesh, huge-canvas SR requests take the row-sharded
+    halo-exchange path automatically instead of tile-batching."""
+    from image_restoration_platform_tpu.serve import RestoratorService
+
+    mesh = make_mesh(data=1, tensor=1, spatial=8)
+    cfg = ServingConfig(size_buckets=(64, 128), max_batch=4)
+    engine = RestorationEngine(mesh=mesh, serving_config=cfg)
+    service = RestoratorService(engine=engine, serving_config=cfg)
+    monkeypatch.setattr(RestoratorService, "SR_TILE_THRESHOLD", 64)
+
+    from image_restoration_platform_tpu import imageio
+
+    img = np.random.default_rng(7).integers(0, 256, (100, 100, 3), dtype=np.uint8)
+    result = service.restore(
+        imageio.encode_jpeg(img, quality=90), options={"model": "sr-x2"}
+    )
+    assert result["success"], result.get("error")
+    tags = [k[0][0] for k in engine._compiled if isinstance(k, tuple) and isinstance(k[0], tuple)]
+    assert "sr_spatial" in tags, f"huge canvas did not route to sr_spatial: {tags}"
+    assert "sr_tiled" not in tags and "sr_tiled_mesh" not in tags, (
+        f"tiled path compiled despite the spatial mesh: {tags}"
+    )
