@@ -116,3 +116,262 @@ def srnet_pipeline_apply(params: dict, x: jax.Array, config, mesh: Mesh,
     up = nn.conv2d(params["up"], feat)
     up = nn.pixel_shuffle(up, c.scale)
     return up + nn.upsample_nearest(x, c.scale)
+
+
+# --------------------------------------------------------------- UNet stages
+#
+# The flagship UNet is heterogeneous (multi-resolution levels, a bottleneck
+# with attention, decoder skip consumption), so the homogeneous scan-chain
+# formulation above does not transfer. The SPMD formulation here (VERDICT r2
+# next #9): split the network into contiguous SEGMENTS at structural
+# boundaries (stem, each encoder level, mid, each decoder level, head), group
+# them into `pipe` stages, and let every device select its stage's function
+# with lax.switch on its pipe-axis index. Microbatch payloads — the running
+# activation, the not-yet-consumed encoder skips, the base image (for the
+# global residual at the head) and the FiLM embedding — travel stage to stage
+# as one fixed-size packed buffer over the same ppermute ring.
+#
+# Parameters stay replicated: the UNet is ~8M params, so activation
+# pipelining (overlapping microbatch compute across stages), not parameter
+# partitioning, is the objective. Bubble fraction is the classic
+# (P-1)/(n_micro+P-1) of the GPipe schedule.
+
+
+def pipeline_bubble_fraction(n_micro: int, pipe: int) -> float:
+    """Idle fraction of the static GPipe schedule."""
+    return (pipe - 1) / (n_micro + pipe - 1)
+
+
+def _unet_segments(params: dict, config):
+    """The UNet forward as an ordered list of carry -> carry closures.
+
+    carry: dict(base=[mb,H,W,Cout], emb=[mb,E], h=activation, skips=tuple).
+    Splitting at these boundaries reproduces models.unet.apply exactly —
+    the segment bodies are the same nn calls in the same order
+    (models/unet.py apply)."""
+    from ..models import nn as unn
+
+    c = config
+    segments = []
+
+    def stem(carry):
+        x = carry["x"]
+        from ..models.unet import _space_to_depth
+
+        x_in = _space_to_depth(x, c.input_scale) if c.input_scale > 1 else x
+        h = unn.conv2d(params["stem"], x_in)
+        base = x if x.shape[-1] == c.out_channels else x[..., : c.out_channels]
+        return {"base": base, "emb": carry["emb"], "h": h, "skips": ()}
+
+    segments.append(stem)
+
+    from ..models.unet import _res_block
+
+    for level, level_p in enumerate(params["enc"]):
+        def enc_level(carry, level_p=level_p):
+            h, emb = carry["h"], carry["emb"]
+            for bp in level_p["blocks"]:
+                h = _res_block(bp, h, emb, c.norm_groups)
+            skips = carry["skips"] + (h,)
+            if "down" in level_p:
+                h = unn.conv2d(level_p["down"], h, stride=2)
+            return {**carry, "h": h, "skips": skips}
+
+        segments.append(enc_level)
+
+    def mid(carry):
+        h, emb = carry["h"], carry["emb"]
+        m = params["mid"]
+        h = _res_block(m["block1"], h, emb, c.norm_groups)
+        if h.shape[1] * h.shape[2] <= c.max_attn_tokens:
+            h = unn.attention(m["attn"], h, c.attn_heads)
+        h = _res_block(m["block2"], h, emb, c.norm_groups)
+        return {**carry, "h": h}
+
+    segments.append(mid)
+
+    for i, level_p in enumerate(params["dec"]):
+        def dec_level(carry, level_p=level_p):
+            h, emb, skips = carry["h"], carry["emb"], carry["skips"]
+            skip = skips[-1]
+            skips = skips[:-1]
+            if h.shape[1] != skip.shape[1]:
+                h = unn.upsample_nearest(h, skip.shape[1] // h.shape[1])
+            for j, bp in enumerate(level_p["blocks"]):
+                h = _res_block(bp, h, emb, c.norm_groups, cat=skip if j == 0 else None)
+            if "up" in level_p:
+                h = unn.conv2d(level_p["up"], h)
+            return {**carry, "h": h, "skips": skips}
+
+        segments.append(dec_level)
+
+    def head(carry):
+        import jax.numpy as jnp
+
+        h = unn.group_norm(params["head_norm"], carry["h"], c.norm_groups)
+        h = unn.silu(h)
+        residual = unn.conv2d(params["head"], h)
+        if c.input_scale > 1:
+            residual = unn.pixel_shuffle(residual, c.input_scale)
+        if c.residual_shrink > 0.0:
+            r = residual.astype(jnp.float32)
+            residual = jnp.sign(r) * jnp.maximum(jnp.abs(r) - c.residual_shrink, 0.0)
+        out = carry["base"] + residual.astype(carry["base"].dtype)
+        return {"base": out, "emb": carry["emb"], "h": out[..., :1], "skips": ()}
+
+    segments.append(head)
+    return segments
+
+
+def _carry_spec(carry):
+    """(treedef, [shape-without-mb]) of a carry pytree."""
+    leaves, treedef = jax.tree_util.tree_flatten(carry)
+    return treedef, [l.shape for l in leaves]
+
+
+def _pack(carry, buf_elems, dtype):
+    leaves = jax.tree_util.tree_leaves(carry)
+    mb = leaves[0].shape[0]
+    flat = jnp.concatenate([l.astype(dtype).reshape(mb, -1) for l in leaves], axis=1)
+    return jnp.pad(flat, ((0, 0), (0, buf_elems - flat.shape[1])))
+
+
+def _unpack(buf, treedef, shapes, dtype):
+    leaves, off = [], 0
+    for shape in shapes:
+        n = 1
+        for s in shape[1:]:
+            n *= s
+        leaves.append(buf[:, off : off + n].reshape((buf.shape[0],) + shape[1:]).astype(dtype))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def unet_pipeline_apply(
+    params: dict,
+    x: jax.Array,
+    cond: jax.Array,
+    config,
+    mesh: Mesh,
+    n_micro: int = 4,
+    t: jax.Array | None = None,
+) -> jax.Array:
+    """UNet forward pipelined over the ``pipe`` mesh axis (stage-selective
+    SPMD: each device runs only its contiguous segment group, selected by
+    lax.switch on the pipe index). Matches models.unet.apply exactly — the
+    segments are the same ops in the same order; only placement differs.
+
+    If the mesh also has a ``data`` axis, the microbatch payloads are
+    additionally batch-sharded over it (pipeline x data parallel composition).
+    """
+    import numpy as np
+
+    from ..models import nn as unn
+    from .mesh import AXIS_DATA
+
+    c = config
+    pipe = mesh.shape[AXIS_PIPE]
+    n = x.shape[0]
+    if n % n_micro != 0:
+        raise ValueError(f"batch {n} not divisible by n_micro={n_micro}")
+    mb = n // n_micro
+    dtype = x.dtype
+
+    # FiLM embedding (cheap MLP) computed replicated, travels with payloads
+    emb_in = cond.astype(dtype)
+    if c.time_conditioned:
+        if t is None:
+            t = jnp.zeros((n,), dtype=jnp.float32)
+        emb_in = jnp.concatenate(
+            [emb_in, unn.sinusoidal_embedding(t, c.emb_dim).astype(dtype)], axis=-1
+        )
+    emb = unn.dense(params["cond_mlp1"], emb_in)
+    emb = unn.silu(emb)
+    emb = unn.dense(params["cond_mlp2"], emb)
+
+    segments = _unet_segments(params, c)
+    if pipe > len(segments):
+        raise ValueError(f"pipe={pipe} exceeds {len(segments)} UNet segments")
+    groups = [list(g) for g in np.array_split(segments, pipe)]
+
+    # trace boundary carry specs host-side (shapes are static)
+    mb_x = jax.eval_shape(lambda a: a[:mb], x)
+    mb_emb = jax.eval_shape(lambda a: a[:mb], emb)
+    carry0 = {"x": mb_x, "emb": mb_emb}
+    boundary_specs = []  # spec BEFORE each stage (len pipe+1, last = output)
+    carry = carry0
+    for g in groups:
+        boundary_specs.append(_carry_spec(carry))
+        for seg in g:
+            carry = jax.eval_shape(seg, carry)
+    boundary_specs.append(_carry_spec(carry))
+
+    def _elems(spec):
+        _, shapes = spec
+        total = 0
+        for shape in shapes:
+            m = 1
+            for s in shape[1:]:
+                m *= s
+            total += m
+        return total
+
+    buf_elems = max(_elems(s) for s in boundary_specs)
+
+    def make_stage_fn(i):
+        treedef_in, shapes_in = boundary_specs[i]
+
+        def stage_fn(buf):
+            carry = _unpack(buf, treedef_in, shapes_in, dtype)
+            for seg in groups[i]:
+                carry = seg(carry)
+            return _pack(carry, buf_elems, dtype)
+
+        return stage_fn
+
+    stage_fns = [make_stage_fn(i) for i in range(pipe)]
+    out_treedef, out_shapes = boundary_specs[pipe]
+
+    # input payloads: [n_micro, mb, buf_elems]
+    xs = x.reshape((n_micro, mb) + x.shape[1:])
+    embs = emb.reshape((n_micro, mb) + emb.shape[1:])
+    feats_in = jnp.stack(
+        [
+            _pack({"x": xs[i], "emb": embs[i]}, buf_elems, dtype)
+            for i in range(n_micro)
+        ]
+    )
+
+    def local_pipeline(feats):
+        idx = jax.lax.axis_index(AXIS_PIPE)
+        state = jnp.zeros_like(feats[0])
+        collected = jnp.zeros((1,) + feats.shape, feats.dtype)
+        ticks = n_micro + pipe - 1
+        for tt in range(ticks):  # static schedule -> one executable
+            inject = feats[min(tt, n_micro - 1)]
+            state = jnp.where(jnp.logical_and(idx == 0, tt < n_micro), inject, state)
+            state = jax.lax.switch(idx, stage_fns, state)
+            if tt >= pipe - 1:
+                done = jnp.where(idx == pipe - 1, state, collected[0, tt - pipe + 1])
+                collected = collected.at[0, tt - pipe + 1].set(done)
+            if pipe > 1:
+                state = jax.lax.ppermute(
+                    state, AXIS_PIPE, perm=[(i, i + 1) for i in range(pipe - 1)]
+                )
+        return collected
+
+    data_ax = AXIS_DATA if mesh.shape.get(AXIS_DATA, 1) > 1 else None
+    collected = jax.shard_map(
+        local_pipeline,
+        mesh=mesh,
+        in_specs=P(None, data_ax),
+        out_specs=P(AXIS_PIPE, None, data_ax),
+        check_vma=False,
+    )(feats_in)
+
+    out_bufs = collected[pipe - 1]  # [n_micro, mb, buf_elems]
+    outs = [
+        _unpack(out_bufs[i], out_treedef, out_shapes, dtype)["base"]
+        for i in range(n_micro)
+    ]
+    return jnp.concatenate(outs, axis=0)
