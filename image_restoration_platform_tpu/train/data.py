@@ -252,13 +252,49 @@ def _soft_cells(key, n, size, channels, k=10):
 
 def _clean_photo_mix(key, n, size, channels):
     """Round-3 clean distribution: rich natural-statistics images plus the
-    flat/saturated geometric families the round-2 model had never seen."""
-    k0, k1, k2, k3 = jax.random.split(key, 4)
+    flat/saturated geometric families the round-2 model had never seen,
+    finished with exposure/contrast/saturation augmentation.
+
+    The augmentation is the harm-bounding half of the fix: a dark,
+    low-contrast or desaturated image scores fade~1/colorShift~1 on the
+    heuristic classifier, and a model that never saw such content CLEAN
+    learns 'fade cond -> stretch toward bright mid-gray' and brightens a
+    clean dark photo by +80/255 (the round-3 OOD eval's catastrophic
+    outliers). Pairing intentionally-dark/flat/muted clean images with
+    identity targets teaches the conditional-mean correction instead of the
+    full inverse: restore only as far as the image itself supports."""
+    k0, k1, k2, k3, k4 = jax.random.split(key, 5)
     rich = _random_clean_rich(k0, n, size, channels)
     flat = _flat_scene(k1, n, size, channels)
     cells = _soft_cells(k2, n, size, channels)
     u = jax.random.uniform(k3, (n, 1, 1, 1))
-    return jnp.where(u < 0.22, flat, jnp.where(u < 0.40, cells, rich))
+    img = jnp.where(u < 0.22, flat, jnp.where(u < 0.40, cells, rich))
+
+    ka, kb, kc, kd, ke, kf = jax.random.split(k4, 6)
+    # exposure: deep underexposure is a creative choice, not always damage
+    exp = jnp.where(
+        jax.random.bernoulli(ka, 0.3, (n, 1, 1, 1)),
+        jax.random.uniform(kb, (n, 1, 1, 1), minval=0.25, maxval=1.0),
+        1.0,
+    )
+    img = img * exp
+    # contrast compression toward the per-image mean (matte/haze look)
+    cfrac = jnp.where(
+        jax.random.bernoulli(kc, 0.2, (n, 1, 1, 1)),
+        jax.random.uniform(kd, (n, 1, 1, 1), minval=0.35, maxval=1.0),
+        1.0,
+    )
+    mean = img.mean(axis=(1, 2, 3), keepdims=True)
+    img = mean + (img - mean) * cfrac
+    # desaturation (muted palettes score colorShift/fade high too)
+    dfrac = jnp.where(
+        jax.random.bernoulli(ke, 0.2, (n, 1, 1, 1)),
+        jax.random.uniform(kf, (n, 1, 1, 1), minval=0.2, maxval=1.0),
+        1.0,
+    )
+    gray = img.mean(axis=-1, keepdims=True)
+    img = gray + (img - gray) * dfrac
+    return jnp.clip(img, 0.0, 1.0)
 
 
 # ------------------------------------------------- photographic degradations
