@@ -37,14 +37,28 @@ def mesh_axes() -> tuple[str, str, str, str]:
 
 
 def maybe_initialize_distributed() -> None:
-    """Multi-host bring-up via env (JAX_COORDINATOR / JAX_PROCESS_ID)."""
+    """Multi-host bring-up via env (JAX_COORDINATOR / JAX_PROCESS_ID).
+
+    Must run before anything touches the XLA backend — which is why the
+    idempotence guard inspects the distributed client state instead of
+    calling jax.process_count() (that call would itself initialise the
+    backend and make jax.distributed.initialize() impossible; found by
+    tests/test_multihost.py)."""
     coordinator = os.environ.get("JAX_COORDINATOR")
-    if coordinator and jax.process_count() == 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", 1)),
-            process_id=int(os.environ.get("JAX_PROCESS_ID", 0)),
-        )
+    if not coordinator:
+        return
+    try:
+        from jax._src import distributed as _distributed
+
+        if getattr(_distributed.global_state, "client", None) is not None:
+            return  # already initialized
+    except ImportError:  # pragma: no cover - private-API drift
+        pass
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=int(os.environ.get("JAX_NUM_PROCESSES", 1)),
+        process_id=int(os.environ.get("JAX_PROCESS_ID", 0)),
+    )
 
 
 def make_mesh(
