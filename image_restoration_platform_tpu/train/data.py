@@ -253,16 +253,28 @@ def _soft_cells(key, n, size, channels, k=10):
 def _clean_photo_mix(key, n, size, channels):
     """Round-3 clean distribution: rich natural-statistics images plus the
     flat/saturated geometric families the round-2 model had never seen,
-    finished with exposure/contrast/saturation augmentation.
+    finished with creative-grade augmentation (low-key exposure, matte
+    blacks, desaturation) with identity targets.
 
-    The augmentation is the harm-bounding half of the fix: a dark,
+    Returns ``(img, aug)`` where ``aug`` is a per-image [n, 1] float flag
+    marking images that received any creative grade.
+
+    The augmentation is the harm-bounding half of the OOD fix: a dark,
     low-contrast or desaturated image scores fade~1/colorShift~1 on the
     heuristic classifier, and a model that never saw such content CLEAN
     learns 'fade cond -> stretch toward bright mid-gray' and brightens a
-    clean dark photo by +80/255 (the round-3 OOD eval's catastrophic
-    outliers). Pairing intentionally-dark/flat/muted clean images with
-    identity targets teaches the conditional-mean correction instead of the
-    full inverse: restore only as far as the image itself supports."""
+    clean dark photo by +80/255. BUT the creative grades must stay
+    *distinguishable from damage*, or the restoration target becomes
+    ambiguous and the learned conditional mean collapses the +dB gain (the
+    phase-B retrain measured exactly that: a linear exposure multiplier is
+    pixel-identical to the lowLight degradation's gain, so 'dark' carried
+    two conflicting targets). The physical distinction real photographs
+    offer: creative grades preserve true highlights (a low-key photo keeps
+    its speculars; matte lifts blacks without pulling highlights down),
+    while damage crushes or shifts the full range. Hence: exposure is a
+    shadow-crushing tone curve with y(1)=1, matte is a lifted black point,
+    and the ambiguous degradations are gated off augmented images in
+    _degrade (see the ``protect`` argument)."""
     k0, k1, k2, k3, k4 = jax.random.split(key, 5)
     rich = _random_clean_rich(k0, n, size, channels)
     flat = _flat_scene(k1, n, size, channels)
@@ -271,30 +283,25 @@ def _clean_photo_mix(key, n, size, channels):
     img = jnp.where(u < 0.22, flat, jnp.where(u < 0.40, cells, rich))
 
     ka, kb, kc, kd, ke, kf = jax.random.split(k4, 6)
-    # exposure: deep underexposure is a creative choice, not always damage
-    exp = jnp.where(
-        jax.random.bernoulli(ka, 0.3, (n, 1, 1, 1)),
-        jax.random.uniform(kb, (n, 1, 1, 1), minval=0.25, maxval=1.0),
-        1.0,
-    )
-    img = img * exp
-    # contrast compression toward the per-image mean (matte/haze look)
-    cfrac = jnp.where(
-        jax.random.bernoulli(kc, 0.2, (n, 1, 1, 1)),
-        jax.random.uniform(kd, (n, 1, 1, 1), minval=0.35, maxval=1.0),
-        1.0,
-    )
-    mean = img.mean(axis=(1, 2, 3), keepdims=True)
-    img = mean + (img - mean) * cfrac
-    # desaturation (muted palettes score colorShift/fade high too)
-    dfrac = jnp.where(
-        jax.random.bernoulli(ke, 0.2, (n, 1, 1, 1)),
-        jax.random.uniform(kf, (n, 1, 1, 1), minval=0.2, maxval=1.0),
-        1.0,
-    )
+    # low-key exposure: crush shadows/mids, keep true highlights (y(1)=1).
+    # The lowLight *degradation* is a global gain that scales highlights
+    # away — the surviving speculars are what make this grade recoverable
+    # as a creative choice rather than damage.
+    on_e = jax.random.bernoulli(ka, 0.2, (n, 1, 1, 1))
+    e = jnp.where(on_e, jax.random.uniform(kb, (n, 1, 1, 1), minval=0.2, maxval=0.75), 1.0)
+    img = img * (e + (1.0 - e) * jnp.square(img) * img)
+    # matte look: lifted black point, highlights intact (the fade
+    # degradation pulls highlights toward mid-gray too)
+    on_m = jax.random.bernoulli(kc, 0.15, (n, 1, 1, 1))
+    lo = jnp.where(on_m, jax.random.uniform(kd, (n, 1, 1, 1), maxval=0.18), 0.0)
+    img = lo + (1.0 - lo) * img
+    # desaturation: muted/monochrome palettes are a grade, not a cast
+    on_d = jax.random.bernoulli(ke, 0.15, (n, 1, 1, 1))
+    dfrac = jnp.where(on_d, jax.random.uniform(kf, (n, 1, 1, 1), minval=0.2, maxval=1.0), 1.0)
     gray = img.mean(axis=-1, keepdims=True)
     img = gray + (img - gray) * dfrac
-    return jnp.clip(img, 0.0, 1.0)
+    aug = (on_e | on_m | on_d).astype(jnp.float32)[:, 0, 0, :]
+    return jnp.clip(img, 0.0, 1.0), aug
 
 
 # ------------------------------------------------- photographic degradations
@@ -445,8 +452,18 @@ def _jpeg_analog(x, strength):
     return jnp.clip(jnp.stack([r2, g2, b2], axis=-1), 0.0, 1.0)
 
 
-def _degrade(key, clean, cfg: DataConfig):
-    """Apply random degradations; returns (degraded, applied strengths [N,7])."""
+def _degrade(key, clean, cfg: DataConfig, protect=None):
+    """Apply random degradations; returns (degraded, applied strengths [N,7]).
+
+    ``protect`` ([N, 1] float, optional) marks creatively-graded clean images
+    (dark/matte/muted with identity targets, _clean_photo_mix). For those the
+    brightness/color-ambiguous degradations — lowLight, fade, colorShift —
+    are gated OFF: stacking a gain reduction on an intentionally dark target
+    would make the ground truth unrecoverable from the input and teach the
+    model a collapsed conditional mean (measured: held-out gain fell from
+    +17 dB to +4.7 dB when the phase-B augmentation stacked them). Blur,
+    noise, compression and scratch stay active on graded images: they leave
+    the target's brightness observable in the input."""
     n = clean.shape[0]
     keys = jax.random.split(key, 10)
     # which degradations are active (bernoulli 0.5 each); 10% of examples are
@@ -462,6 +479,11 @@ def _degrade(key, clean, cfg: DataConfig):
     )
     scale = 1.0 - near_clean * 0.94
     strength = jax.random.uniform(keys[1], (n, 7)) * active * (1.0 - keep_clean) * scale
+    if protect is not None:
+        # 1 = well-posed on graded targets (blur/noise/compression/scratch),
+        # 0 = ambiguous (lowLight/fade/colorShift), gated by protect
+        wellposed = jnp.asarray([1.0, 1.0, 0.0, 1.0, 1.0, 0.0, 0.0])[None, :]
+        strength = strength * (wellposed + (1.0 - wellposed) * (1.0 - protect))
 
     x = clean
 
@@ -503,6 +525,11 @@ def _degrade(key, clean, cfg: DataConfig):
     if cfg.photo:
         use_vig = jax.random.bernoulli(jax.random.fold_in(key, 23), 0.5, (n, 1, 1, 1))
         x = jnp.where(use_vig, _vignette_dark(x, strength[:, 2]), x_gain)
+        # physical coupling: underexposure DAMAGE always carries shot noise
+        # (low signal -> low SNR on a real sensor), while a creatively dark
+        # clean image is noiseless. This is the learnable cue separating
+        # 'brighten + denoise' from 'leave the low-key grade alone'.
+        x = _signal_noise(jax.random.fold_in(key, 25), x, 0.55 * strength[:, 2])
     else:
         x = x_gain
 
@@ -565,11 +592,12 @@ def synthetic_batch(key: jax.Array, n: int, cfg: DataConfig = DataConfig()):
 
     k_clean, k_deg, k_jpeg = jax.random.split(key, 3)
     if cfg.photo:
-        gen = _clean_photo_mix
+        clean, aug = _clean_photo_mix(k_clean, n, cfg.size, cfg.channels)
     else:
         gen = _random_clean_rich if cfg.rich else _random_clean
-    clean = gen(k_clean, n, cfg.size, cfg.channels)
-    degraded, _strength = _degrade(k_deg, clean, cfg)
+        clean = gen(k_clean, n, cfg.size, cfg.channels)
+        aug = None
+    degraded, _strength = _degrade(k_deg, clean, cfg, protect=aug)
     is_jpeg = jax.random.bernoulli(k_jpeg, 0.7, (n,)).astype(jnp.float32)
     valid = jnp.tile(jnp.asarray([[cfg.size, cfg.size]], jnp.int32), (n, 1))
     _scores, cond = batch_classify_and_condition(degraded * 255.0, valid, is_jpeg)
