@@ -187,10 +187,21 @@ def fold_params(params: dict, config: unet.UNetConfig) -> dict:
         "attn": mid["attn"],  # attention runs unfolded
         "block2": _fold_res_block(mid["block2"]),
     }
-    for level_p in params["dec"]:
+    for i, level_p in enumerate(params["dec"]):
         lp = {"blocks": [_fold_res_block(bp) for bp in level_p["blocks"]]}
         if "up" in level_p:
             lp["up"] = _fold_conv(level_p["up"])
+        if i > 0:
+            # every dec level after the first re-enters at half resolution;
+            # its first block consumes up2(h) ++ skip. Pre-derive the fused
+            # upsample phase kernels from the REAL x-part weights (the fold
+            # of up-then-conv is not the up of the folded conv).
+            b0 = level_p["blocks"][0]
+            ci_x = b0["conv1"]["w"].shape[2] - b0["conv1"]["w"].shape[3]
+            lp["up0"] = {
+                "conv1_up": _fold_upconv(b0["conv1"]["w"][:, :, :ci_x, :]),
+                "skip_up": _fold_upconv(b0["skip"]["w"][:, :, :ci_x, :]),
+            }
         out["dec"].append(lp)
     return out
 
@@ -236,10 +247,142 @@ def _upsample_nearest_folded(x: jax.Array) -> jax.Array:
 
     Y'[n,2h+a,w,2c+b] = X[n,h,w,c]: unfold W, duplicate rows, then the
     interleaved channel duplicate IS the W-fold of column duplication.
-    """
+
+    Kept for reference/tests; the serving decoder no longer uses it — the
+    unfold here was the dominant fold-boundary relayout (~0.5 ms per decoder
+    level at the 512px bucket), now fused into the phase convs below."""
     u = unfold_w(x)
     u = jnp.repeat(u, 2, axis=1)
     return jnp.repeat(u, 2, axis=-1)
+
+
+# --------------------------------------------------- fold-preserving upsample
+#
+# The decoder's nearest-up2 -> conv composition, expressed WITHOUT leaving the
+# folded layout. Key identities:
+#
+#   * conv(nearest_up2(x)) is linear and shift-equivariant with period 2: one
+#     input (folded) column shift moves the output by two folded columns, so
+#     the composite splits into 2x2 output phases (H phase g, folded-W phase
+#     f), each a plain stride-1 conv on the folded input — all MXU work, no
+#     relayout. Interleaving the four phase outputs back is a sublane/row
+#     merge ([W',2] -> 2W', [H,2] -> 2H), never a lane (channel) shuffle.
+#
+#   * 1-D derivation (W axis; taps w[-1..1], u = nearest_up2(x)):
+#       y[2p]   = w[-1]x[p-1] + (w[0]+w[1])x[p]
+#       y[2p+1] = (w[-1]+w[0])x[p] + w[1]x[p+1]
+#     With x itself folded (x[j] = X[j//2, phase j%2]) and the output folded
+#     column p = 2q+f at phase e, each (f, e) slot reads at most two folded
+#     columns of X — the _UPW tables below. The H axis is the same algebra
+#     without the phase split (_UPH). Zero SAME padding maps correctly on
+#     both axes (checked at the boundaries in tests/test_folded.py).
+#
+#   * GroupNorm and SiLU commute EXACTLY with nearest duplication (the value
+#     multiset per group is unchanged up to a uniform multiplicity of 4), so
+#     the decoder block's norm1 -> silu can run at the PRE-upsample
+#     resolution and the upsample rides inside the phase convs for free.
+
+# H axis, output row phase g: list of (dy_index, [original ky taps summed])
+_UPH3 = {0: ((0, (0,)), (1, (1, 2))), 1: ((1, (0, 1)), (2, (2,)))}
+# W axis, folded-output-column phase f: (dx_index, p_in, e_out, [kx taps])
+_UPW3 = {
+    0: ((0, 1, 0, (0,)), (1, 0, 0, (1, 2)), (1, 0, 1, (0, 1)), (1, 1, 1, (2,))),
+    1: ((1, 0, 0, (0,)), (1, 1, 0, (1, 2)), (1, 1, 1, (0, 1)), (2, 0, 1, (2,))),
+}
+
+
+def _fold_upconv(w: jax.Array) -> jax.Array:
+    """Real decoder weight [kh,kw,Ci,Co] (3x3 or 1x1) -> phase kernels
+    [2,2,kh,kw,2Ci,2Co] such that applying them per (g, f) phase and
+    interleaving equals fold(conv(nearest_up2(unfold(x))))."""
+    kh, kw, ci, co = w.shape
+    if (kh, kw) == (1, 1):
+        h_taps = {g: ((0, (0,)),) for g in (0, 1)}
+        w_taps = {f: ((0, f, 0, (0,)), (0, f, 1, (0,))) for f in (0, 1)}
+    else:
+        assert (kh, kw) == (3, 3), (kh, kw)
+        h_taps, w_taps = _UPH3, _UPW3
+    out = jnp.zeros((2, 2, kh, kw, 2 * ci, 2 * co), w.dtype)
+    for g in (0, 1):
+        for f in (0, 1):
+            k = jnp.zeros((kh, kw, 2 * ci, 2 * co), w.dtype)
+            for dy, kys in h_taps[g]:
+                for dx, pin, e, kxs in w_taps[f]:
+                    acc = sum(w[ky, kx] for ky in kys for kx in kxs)
+                    k = k.at[dy, dx, pin::2, e::2].add(acc)
+            out = out.at[g, f].set(k)
+    return out
+
+
+def _phase_conv(x: jax.Array, k: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x,
+        k.astype(x.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+def upconv2d_folded(kernels: jax.Array, x: jax.Array) -> jax.Array:
+    """fold(conv(nearest_up2(unfold(x)))) via four stride-1 folded convs.
+
+    ``kernels`` [2,2,kh,kw,2Ci,2Co] from _fold_upconv; x [N,H,W',2Ci] folded ->
+    [N,2H,2W',2Co] folded. No bias (callers add it once)."""
+    n, h, wf, _ = x.shape
+    rows = []
+    for g in (0, 1):
+        o0 = _phase_conv(x, kernels[g, 0])
+        o1 = _phase_conv(x, kernels[g, 1])
+        co2 = o0.shape[-1]
+        rows.append(jnp.stack([o0, o1], axis=3).reshape(n, h, 2 * wf, co2))
+    return jnp.stack(rows, axis=2).reshape(n, 2 * h, 2 * wf, rows[0].shape[-1])
+
+
+def _res_block_up(bp: dict, up_p: dict, x_lo: jax.Array, cat: jax.Array, emb, groups: int):
+    """unet._res_block(bp, up2(x_lo), emb, groups, cat=cat) with the nearest
+    upsample fused into the convolutions; x_lo stays at the pre-upsample
+    folded resolution throughout the norm/activation and enters the level
+    resolution only through the phase convs (upconv2d_folded).
+
+    Virtual-concat GN over [up2(x_lo), cat]: duplication preserves per-channel
+    moments exactly, so x's sums weigh 4x against cat's grid count."""
+    n = x_lo.shape[0]
+    cx, cc = x_lo.shape[-1], cat.shape[-1]
+    ctot = cx + cc
+    g = nn._gn_groups(ctot, groups)
+    per = ctot // g
+    hh, ww = cat.shape[1], cat.shape[2]
+    cnt = hh * ww * per
+    xf = x_lo.astype(jnp.float32)
+    cf = cat.astype(jnp.float32)
+    s1 = jnp.concatenate([4.0 * jnp.sum(xf, (1, 2)), jnp.sum(cf, (1, 2))], axis=-1)
+    s2 = jnp.concatenate(
+        [4.0 * jnp.sum(jnp.square(xf), (1, 2)), jnp.sum(jnp.square(cf), (1, 2))], axis=-1
+    )
+    mean_g = jnp.sum(s1.reshape(n, g, per), axis=-1) / cnt
+    ex2_g = jnp.sum(s2.reshape(n, g, per), axis=-1) / cnt
+    var_g = jnp.maximum(ex2_g - jnp.square(mean_g), 0.0)
+    mean_c = jnp.repeat(mean_g, per, axis=-1)
+    inv_c = jnp.repeat(jax.lax.rsqrt(var_g + 1e-5), per, axis=-1)
+    scale = bp["norm1"]["scale"][None, :] * inv_c
+    bias = bp["norm1"]["bias"][None, :] - mean_c * scale
+    na = nn._apply_affine(x_lo, scale[:, :cx], bias[:, :cx])
+    nb = nn._apply_affine(cat, scale[:, cx:], bias[:, cx:])
+
+    h1 = upconv2d_folded(up_p["conv1_up"], nn.silu(na))
+    h1 = h1 + _phase_conv(nn.silu(nb), bp["conv1"]["w"][:, :, cx:, :])
+    h1 = h1 + bp["conv1"]["b"].astype(cat.dtype)
+    h1 = nn.film(bp["film"], h1, emb)
+    h1 = nn.group_norm(bp["norm2"], h1, groups)
+    h1 = nn.silu(h1)
+    h1 = nn.conv2d(bp["conv2"], h1)
+
+    sp = upconv2d_folded(up_p["skip_up"], x_lo)
+    sp = sp + _phase_conv(cat, bp["skip"]["w"][:, :, cx:, :])
+    sp = sp + bp["skip"]["b"].astype(cat.dtype)
+    return sp + h1
 
 
 def apply(
@@ -295,10 +438,15 @@ def apply(
 
     for i, level_p in enumerate(params["dec"]):
         skip = skips[len(skips) - 1 - i]
+        blocks = level_p["blocks"]
+        j0 = 0
         if h.shape[1] != skip.shape[1]:
-            h = _upsample_nearest_folded(h)
-        for j, bp in enumerate(level_p["blocks"]):
-            h = unet._res_block(bp, h, emb, c.norm_groups, cat=skip if j == 0 else None)
+            # fused nearest-up2: norm/silu at low res, upsample inside the
+            # phase convs — the folded layout never breaks (no unfold)
+            h = _res_block_up(blocks[0], level_p["up0"], h, skip, emb, c.norm_groups)
+            j0 = 1
+        for j in range(j0, len(blocks)):
+            h = unet._res_block(blocks[j], h, emb, c.norm_groups, cat=skip if j == 0 else None)
         if "up" in level_p:
             h = nn.conv2d(level_p["up"], h)
 

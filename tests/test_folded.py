@@ -57,6 +57,42 @@ def test_folded_upsample_matches():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("kernel", [3, 1])
+def test_fold_upconv_matches(kernel):
+    """The fold-preserving decoder upsample: four phase convs + sublane
+    interleave must equal conv(nearest_up2(x)) exactly, including the SAME
+    zero-pad boundaries on both axes (odd folded extents stress them)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    x = _rand(k1, (2, 5, 7, 10))  # folded input: W'=7, 2C=10
+    p = nn.conv_init(k2, 5, 7, kernel=kernel)
+    ref = nn.conv2d(p, nn.upsample_nearest(folded.unfold_w(x), 2))
+    kern = folded._fold_upconv(p["w"])
+    got = folded.unfold_w(folded.upconv2d_folded(kern, x)) + p["b"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_res_block_up_matches():
+    """Fused up-res-block == res_block(up2(x), cat=skip): GN stats weighting
+    (4x multiplicity for the low-res part) and both fused conv paths."""
+    keys = jax.random.split(jax.random.PRNGKey(12), 6)
+    in_ch, out_ch, emb_dim, groups = 8, 8, 16, 4
+    bp = unet._res_block_init(keys[0], in_ch + out_ch, out_ch, emb_dim)
+    x = _rand(keys[1], (2, 4, 6, in_ch))      # low res (folded W'=3)
+    skip = _rand(keys[2], (2, 8, 12, out_ch))  # level res
+    emb = _rand(keys[3], (2, emb_dim)) * 0.3
+    ref = unet._res_block(bp, nn.upsample_nearest(x, 2), emb, groups, cat=skip)
+    bpf = folded._fold_res_block(bp)
+    ci_x = bp["conv1"]["w"].shape[2] - bp["conv1"]["w"].shape[3]
+    up_p = {
+        "conv1_up": folded._fold_upconv(bp["conv1"]["w"][:, :, :ci_x, :]),
+        "skip_up": folded._fold_upconv(bp["skip"]["w"][:, :, :ci_x, :]),
+    }
+    got = folded.unfold_w(
+        folded._res_block_up(bpf, up_p, folded.fold_w(x), folded.fold_w(skip), emb, groups)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
 @pytest.mark.parametrize(
     "config,size",
     [
