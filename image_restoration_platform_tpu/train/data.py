@@ -250,6 +250,49 @@ def _soft_cells(key, n, size, channels, k=10):
     return jnp.clip(img * shade, 0.0, 1.0)
 
 
+def _periodic_texture(key, n, size, channels):
+    """Dense periodic texture: oriented dot lattices and crossed square-wave
+    weaves (fabric / halftone print / brick statistics). Round-3 OOD eval
+    found the model DESTROYS such content (-5.7 dB on jpeg'd halftones,
+    20/255 mean harm on clean weaves): dense high-frequency structure never
+    appeared clean in training, so it reads as noise/scratch and gets
+    smoothed away. Real photographs are full of it.
+
+    Construction is deliberately different from the numpy OOD generators
+    (train/ood.py _halftone_clean/_weave_clean): soft-threshold lattices on
+    rotated coordinates with random duty/softness/palette, not the eval's
+    sigmoid dots / sign waves; eval seeds stay disjoint."""
+    ks = jax.random.split(key, 10)
+    yy = jnp.linspace(0.0, 1.0, size)[None, :, None, None] * size
+    xx = jnp.linspace(0.0, 1.0, size)[None, None, :, None] * size
+    ang = jax.random.uniform(ks[0], (n, 1, 1, 1), maxval=jnp.pi)
+    period = jax.random.uniform(ks[1], (n, 1, 1, 1), minval=3.0, maxval=9.0)
+    u = (xx * jnp.cos(ang) + yy * jnp.sin(ang)) / period
+    v = (-xx * jnp.sin(ang) + yy * jnp.cos(ang)) / period
+    soft = jax.random.uniform(ks[2], (n, 1, 1, 1), minval=4.0, maxval=12.0)
+    duty = jax.random.uniform(ks[3], (n, 1, 1, 1), minval=-0.3, maxval=0.3)
+    # lattice field: product of two phase-offset cosines -> dots; a single
+    # cosine -> stripes; blend per image
+    dots = jnp.tanh((jnp.cos(2 * jnp.pi * u) * jnp.cos(2 * jnp.pi * v) + duty) * soft)
+    stripes = jnp.tanh((jnp.cos(2 * jnp.pi * u) + duty) * soft)
+    w_dot = jax.random.uniform(ks[4], (n, 1, 1, 1))
+    field = jnp.where(w_dot < 0.5, dots, stripes) * 0.5 + 0.5  # [0,1]
+    c0 = jax.random.uniform(ks[5], (n, 1, 1, channels), minval=0.05, maxval=0.95)
+    c1 = jax.random.uniform(ks[6], (n, 1, 1, channels), minval=0.05, maxval=0.95)
+    img = c0 * field + c1 * (1.0 - field)
+    # slow illumination ramp + occasional large-scale mask so texture appears
+    # as a REGION of a photo, not always full-frame
+    gdir = jax.random.normal(ks[7], (n, 2, 1, 1, 1))
+    ramp = (yy[:, :, :, :] * gdir[:, 0] + xx * gdir[:, 1]) / size
+    img = img * (1.0 + 0.25 * jnp.tanh(ramp))
+    partial = jax.random.bernoulli(ks[8], 0.4, (n, 1, 1, 1))
+    cy = jax.random.uniform(ks[9], (n, 1, 1, 1))
+    mask = jax.nn.sigmoid((yy / size - cy) * 30.0)
+    base = _random_clean(jax.random.fold_in(key, 31), n, size, channels)
+    img = jnp.where(partial, img * mask + base * (1.0 - mask), img)
+    return jnp.clip(img, 0.0, 1.0)
+
+
 def _clean_photo_mix(key, n, size, channels):
     """Round-3 clean distribution: rich natural-statistics images plus the
     flat/saturated geometric families the round-2 model had never seen,
@@ -275,12 +318,17 @@ def _clean_photo_mix(key, n, size, channels):
     shadow-crushing tone curve with y(1)=1, matte is a lifted black point,
     and the ambiguous degradations are gated off augmented images in
     _degrade (see the ``protect`` argument)."""
-    k0, k1, k2, k3, k4 = jax.random.split(key, 5)
+    k0, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
     rich = _random_clean_rich(k0, n, size, channels)
     flat = _flat_scene(k1, n, size, channels)
     cells = _soft_cells(k2, n, size, channels)
+    tex = _periodic_texture(k5, n, size, channels)
     u = jax.random.uniform(k3, (n, 1, 1, 1))
-    img = jnp.where(u < 0.22, flat, jnp.where(u < 0.40, cells, rich))
+    img = jnp.where(
+        u < 0.18,
+        flat,
+        jnp.where(u < 0.33, cells, jnp.where(u < 0.47, tex, rich)),
+    )
 
     ka, kb, kc, kd, ke, kf = jax.random.split(k4, 6)
     # low-key exposure: crush shadows/mids, keep true highlights (y(1)=1).

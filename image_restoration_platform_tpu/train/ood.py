@@ -104,7 +104,60 @@ def _polygon_clean(rng: np.random.Generator, size: int) -> np.ndarray:
     return img.reshape(size, 2, size, 2, 3).mean(axis=(1, 3))
 
 
-_CLEAN_GENERATORS = (_voronoi_clean, _warped_clean, _polygon_clean)
+def _halftone_clean(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Halftone dot lattice over a two-tone gradient: dense periodic high-
+    frequency structure (print/textile texture). The earlier OOD cleans were
+    low-frequency (voronoi/warped/polygon), which made the blur and jpeg
+    degradation classes nearly lossless (in-PSNR ~30 dB) and the measured
+    'gain' vacuously ~0 — a textured family gives those classes real
+    headroom to restore."""
+    ss = size * 2
+    yy, xx = np.mgrid[0:ss, 0:ss].astype(np.float32)
+    period = float(rng.uniform(6.0, 14.0))
+    ang = rng.uniform(0, np.pi / 2)
+    u = (xx * np.cos(ang) + yy * np.sin(ang)) / period
+    v = (-xx * np.sin(ang) + yy * np.cos(ang)) / period
+    # dot radius modulated by a smooth ramp (classic halftone shading)
+    gdir = rng.normal(size=2)
+    gdir /= np.linalg.norm(gdir) + 1e-9
+    ramp = (yy * gdir[0] + xx * gdir[1]) / ss
+    ramp = (ramp - ramp.min()) / (ramp.max() - ramp.min() + 1e-9)
+    radius = 0.15 + 0.35 * ramp
+    du = u - np.round(u)
+    dv = v - np.round(v)
+    d = np.sqrt(du * du + dv * dv)
+    dots = 1.0 / (1.0 + np.exp((d - radius) * 18.0))  # anti-aliased dots
+    ink, paper = _smooth_palette(rng, 2)
+    img = paper[None, None] * (1 - dots[..., None]) + ink[None, None] * dots[..., None]
+    return img.reshape(size, 2, size, 2, 3).mean(axis=(1, 3))
+
+
+def _weave_clean(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Crossed square-wave weave (fabric/wicker): broadband edges in two
+    orientations plus a slow color drift."""
+    ss = size * 2
+    yy, xx = np.mgrid[0:ss, 0:ss].astype(np.float32)
+    p1, p2 = rng.uniform(5.0, 16.0, size=2)
+    a1 = rng.uniform(0, np.pi)
+    a2 = a1 + np.pi / 2 + rng.uniform(-0.2, 0.2)
+    w1 = np.sign(np.sin(2 * np.pi * (xx * np.cos(a1) + yy * np.sin(a1)) / p1))
+    w2 = np.sign(np.sin(2 * np.pi * (xx * np.cos(a2) + yy * np.sin(a2)) / p2))
+    over = (w1 > w2).astype(np.float32)  # which thread is on top
+    c1, c2 = _smooth_palette(rng, 2)
+    img = c1[None, None] * over[..., None] + c2[None, None] * (1 - over[..., None])
+    # slow illumination drift so the palette isn't exactly two-valued
+    drift = 0.15 * np.sin(2 * np.pi * yy / ss * rng.uniform(0.5, 2.0))[..., None]
+    img = np.clip(img * (1.0 + drift), 0.0, 1.0)
+    return img.reshape(size, 2, size, 2, 3).mean(axis=(1, 3))
+
+
+_CLEAN_GENERATORS = (
+    _voronoi_clean,
+    _warped_clean,
+    _polygon_clean,
+    _halftone_clean,
+    _weave_clean,
+)
 
 
 def ood_clean(rng: np.random.Generator, n: int, size: int) -> np.ndarray:
