@@ -84,6 +84,13 @@ def _load_native():
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.POINTER(ctypes.c_size_t),
             ]
+            lib.irp_encode_jpeg_raw420.restype = ctypes.c_int
+            lib.irp_encode_jpeg_raw420.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
             lib.irp_encode_png.restype = ctypes.c_int
             lib.irp_encode_png.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
@@ -278,6 +285,46 @@ def encode_jpeg(
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, "JPEG", quality=quality, subsampling=0 if chroma_444 else 2)
     return buf.getvalue()
+
+
+def encode_jpeg_ycbcr420(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    quality: int = 90,
+    attach_srgb_icc: bool = True,
+) -> bytes | None:
+    """JPEG encode from pre-subsampled full-range BT.601 YCbCr 4:2:0 planes
+    (libjpeg raw-data path, no host colorspace conversion).
+
+    This is the egress half of the device-side planarization: the tiled-SR
+    program emits Y [H,W] + Cb/Cr [(H+1)/2,(W+1)/2] u8 planes, so the
+    device->host transfer is 1.5 B/px instead of 3 B/px RGB — the transfer
+    dominates the 2K->4K wall time (BASELINE config 3). Returns None when the
+    native codec is unavailable (callers fall back to the RGB path)."""
+    y = np.ascontiguousarray(y, dtype=np.uint8)
+    cb = np.ascontiguousarray(cb, dtype=np.uint8)
+    cr = np.ascontiguousarray(cr, dtype=np.uint8)
+    h, w = y.shape
+    assert cb.shape == cr.shape == ((h + 1) // 2, (w + 1) // 2), (y.shape, cb.shape)
+    lib = _load_native()
+    if lib is None:  # pragma: no cover - native is the product path
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = lib.irp_encode_jpeg_raw420(
+        y.ctypes.data_as(ctypes.c_void_p),
+        cb.ctypes.data_as(ctypes.c_void_p),
+        cr.ctypes.data_as(ctypes.c_void_p),
+        w, h, int(quality), 1 if attach_srgb_icc else 0,
+        ctypes.byref(out), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise ValueError(f"jpeg raw420 encode failed (code {rc})")
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.irp_free(out)
 
 
 def encode_png(img: np.ndarray) -> bytes:

@@ -495,6 +495,123 @@ int irp_encode_jpeg(const uint8_t* rgb, int w, int h, int quality, int chroma444
   return IRP_OK;
 }
 
+// JPEG encode from pre-subsampled YCbCr 4:2:0 planes (jpeg_write_raw_data).
+// Serving rationale: the tiled-SR output leaves the device as Y + quarter-res
+// Cb/Cr planes (1.5 B/px instead of 3 B/px RGB), halving the device->host
+// transfer that dominates the 2K->4K wall time; this entry point feeds those
+// planes straight into libjpeg's raw pipeline with no host colorspace work.
+// y is [h, w]; cb/cr are [(h+1)/2, (w+1)/2], JPEG full-range BT.601.
+int irp_encode_jpeg_raw420(const uint8_t* y, const uint8_t* cb, const uint8_t* cr,
+                           int w, int h, int quality, int attach_srgb_icc,
+                           uint8_t** out, size_t* out_len) {
+  struct jpeg_compress_struct cinfo;
+  JpegErr jerr;
+  unsigned char* mem = nullptr;
+  unsigned long mem_len = 0;
+  uint8_t* ypad = nullptr;
+  uint8_t* cbpad = nullptr;
+  uint8_t* crpad = nullptr;
+
+  // libjpeg's raw-data path consumes full iMCU rows: pad each plane to DCT
+  // block multiples (16 luma / 8 chroma) by edge replication.
+  const int wp = (w + 15) & ~15;
+  const int hp = (h + 15) & ~15;
+  const int cw = (w + 1) / 2, ch = (h + 1) / 2;
+  const int cwp = wp / 2, chp = hp / 2;
+
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    if (mem) free(mem);
+    free(ypad); free(cbpad); free(crpad);
+    return IRP_ERR_ENCODE;
+  }
+  ypad = (uint8_t*)malloc((size_t)wp * hp);
+  cbpad = (uint8_t*)malloc((size_t)cwp * chp);
+  crpad = (uint8_t*)malloc((size_t)cwp * chp);
+  if (!ypad || !cbpad || !crpad) {
+    free(ypad); free(cbpad); free(crpad);
+    return IRP_ERR_ALLOC;
+  }
+  for (int r = 0; r < hp; r++) {
+    const uint8_t* src = y + (size_t)(r < h ? r : h - 1) * w;
+    uint8_t* dst = ypad + (size_t)r * wp;
+    memcpy(dst, src, w);
+    memset(dst + w, src[w - 1], wp - w);
+  }
+  for (int r = 0; r < chp; r++) {
+    const uint8_t* sb = cb + (size_t)(r < ch ? r : ch - 1) * cw;
+    const uint8_t* sr_ = cr + (size_t)(r < ch ? r : ch - 1) * cw;
+    uint8_t* db = cbpad + (size_t)r * cwp;
+    uint8_t* dr = crpad + (size_t)r * cwp;
+    memcpy(db, sb, cw);
+    memcpy(dr, sr_, cw);
+    memset(db + cw, sb[cw - 1], cwp - cw);
+    memset(dr + cw, sr_[cw - 1], cwp - cw);
+  }
+
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &mem, &mem_len);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  cinfo.raw_data_in = TRUE;
+  cinfo.comp_info[0].h_samp_factor = 2;
+  cinfo.comp_info[0].v_samp_factor = 2;
+  cinfo.comp_info[1].h_samp_factor = 1;
+  cinfo.comp_info[1].v_samp_factor = 1;
+  cinfo.comp_info[2].h_samp_factor = 1;
+  cinfo.comp_info[2].v_samp_factor = 1;
+  // optimize_coding buffers coefficients host-side; keep it for parity with
+  // irp_encode_jpeg's output size behavior
+  cinfo.optimize_coding = TRUE;
+  jpeg_start_compress(&cinfo, TRUE);
+
+  if (attach_srgb_icc) {
+    uint8_t* icc = nullptr;
+    size_t icc_len = build_srgb_icc(&icc);
+    if (icc && icc_len > 0 && icc_len < 65000) {
+      size_t hdr = 14;
+      uint8_t* marker = (uint8_t*)malloc(hdr + icc_len);
+      if (marker) {
+        memcpy(marker, "ICC_PROFILE", 12);
+        marker[12] = 1;
+        marker[13] = 1;
+        memcpy(marker + hdr, icc, icc_len);
+        jpeg_write_marker(&cinfo, JPEG_APP0 + 2, marker, (unsigned int)(hdr + icc_len));
+        free(marker);
+      }
+    }
+    if (icc) free(icc);
+  }
+
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  while (cinfo.next_scanline < cinfo.image_height) {
+    int base = (int)cinfo.next_scanline;
+    for (int i = 0; i < 16; i++) {
+      int r = base + i;
+      yrows[i] = ypad + (size_t)(r < hp ? r : hp - 1) * wp;
+    }
+    for (int i = 0; i < 8; i++) {
+      int r = base / 2 + i;
+      cbrows[i] = cbpad + (size_t)(r < chp ? r : chp - 1) * cwp;
+      crrows[i] = crpad + (size_t)(r < chp ? r : chp - 1) * cwp;
+    }
+    jpeg_write_raw_data(&cinfo, planes, 16);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  free(ypad); free(cbpad); free(crpad);
+  *out = (uint8_t*)mem;
+  *out_len = (size_t)mem_len;
+  return IRP_OK;
+}
+
 int irp_encode_png(const uint8_t* rgb, int w, int h, uint8_t** out, size_t* out_len) {
   png_image image;
   memset(&image, 0, sizeof(image));

@@ -560,6 +560,29 @@ class RestorationEngine:
             "family": family_name,
         }
 
+    @staticmethod
+    def _to_yuv420(out_f32: jax.Array):
+        """[H,W,3] float RGB in [0,255] -> (Y [H,W], Cb, Cr [H/2,W/2]) u8
+        planes, JPEG full-range BT.601 with 2x2 box chroma subsampling.
+
+        Emitting planes instead of RGB cuts the device->host transfer to
+        1.5 B/px — the 48 MB 4K RGB output crossing the ~34 MB/s tunnel was
+        ~90% of the 2K->4K wall (BASELINE config 3 / VERDICT r2 weak #3).
+        The host feeds them straight to libjpeg's raw 4:2:0 pipeline
+        (imageio.encode_jpeg_ycbcr420)."""
+        r, g, b = out_f32[..., 0], out_f32[..., 1], out_f32[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        h, w = y.shape
+        cbs = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        crs = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+        def u8(v):
+            return jnp.round(jnp.clip(v, 0.0, 255.0)).astype(jnp.uint8)
+
+        return u8(y), u8(cbs), u8(crs)
+
     def sr_tiled(
         self,
         canvas_u8: np.ndarray,
@@ -567,6 +590,7 @@ class RestorationEngine:
         tile: int = 256,
         overlap: int = 32,
         tile_batch: int = 8,
+        output: str = "rgb",
     ) -> tuple[np.ndarray, dict]:
         """Tiled super-resolution with seam-free overlap-blend, one compiled
         program per canvas size (BASELINE.json config 3: 2K -> 4K).
@@ -631,9 +655,14 @@ class RestorationEngine:
                 out_tiles = jax.lax.with_sharding_constraint(out_tiles, replicated)
                 h, w, _ = canvas.shape
                 out = blend_tiles(out_tiles, (h, w), ys, xs, scale=scale)
+                if output == "yuv420":
+                    return self._to_yuv420(out)
                 return jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
 
-            tag = ("sr_tiled_mesh", family_name, tile, overlap, tile_batch, self._mesh_key())
+            tag = (
+                "sr_tiled_mesh", family_name, tile, overlap, tile_batch, output,
+                self._mesh_key(),
+            )
         else:
 
             def program_fn(params, canvas):
@@ -642,9 +671,11 @@ class RestorationEngine:
                     img, sr_fn_builder(params), tile=tile, overlap=overlap,
                     scale=scale, tile_batch=tile_batch,
                 )
+                if output == "yuv420":
+                    return self._to_yuv420(out)
                 return jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
 
-            tag = ("sr_tiled", family_name, tile, overlap, tile_batch)
+            tag = ("sr_tiled", family_name, tile, overlap, tile_batch, output)
 
         params = self._params(family_name)
         canvas_d = jax.device_put(canvas_u8)
@@ -661,7 +692,11 @@ class RestorationEngine:
             out = jax.device_get(out_d)  # one round trip
         device_s = time.perf_counter() - t0
         self.device_seconds_total += device_s
-        return np.asarray(out), {
+        if output == "yuv420":
+            out = tuple(np.asarray(p) for p in out)
+        else:
+            out = np.asarray(out)
+        return out, {
             "engineRequestId": uuid.uuid4().hex,
             "deviceSeconds": device_s,
             "fetchSeconds": time.perf_counter() - t_fetch,

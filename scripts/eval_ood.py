@@ -100,9 +100,19 @@ def main() -> None:
     pred = np.asarray(serve(jnp.asarray(clean)))
     harm_psnr = psnr(pred, clean)
     mad = float(np.mean(np.abs(pred - clean))) * 255.0
-    report["clean_no_harm"] = {"psnr_out": round(harm_psnr, 2), "mad_255": round(mad, 2)}
+    # per-image worst case: aggregates hide catastrophic outliers (round-3
+    # phase-A: one clean dark image brightened +80/255 while siblings passed)
+    per_mad = np.mean(np.abs(pred - clean), axis=(1, 2, 3)) * 255.0
+    worst = int(np.argmax(per_mad))
+    report["clean_no_harm"] = {
+        "psnr_out": round(harm_psnr, 2),
+        "mad_255": round(mad, 2),
+        "worst_mad_255": round(float(per_mad[worst]), 2),
+        "worst_image_mean": round(float(clean[worst].mean()), 3),
+    }
     print(
-        f"  {'clean_no_harm':20s} out {harm_psnr:6.2f} dB  mad {mad:.2f}/255",
+        f"  {'clean_no_harm':20s} out {harm_psnr:6.2f} dB  mad {mad:.2f}/255  "
+        f"worst {per_mad[worst]:.2f}/255 (img mean {clean[worst].mean():.2f})",
         file=sys.stderr,
     )
 
