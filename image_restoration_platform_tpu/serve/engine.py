@@ -883,10 +883,16 @@ class RestorationEngine:
                 tc = sr_tiled_canvas or self.SR_TILED_CANVAS
                 canvas = np.zeros((tc, tc, 3), dtype=np.uint8)
                 tile = min(256, tc)  # clamp for small test canvases
-                timed(
-                    f"{fam}/tiled/{tc}",
-                    lambda c=canvas, f=fam, t=tile: self.sr_tiled(c, f, tile=t),
-                )
+                # yuv420 planes egress is what the serving path takes for
+                # huge canvases (restorator._restore_sr); rgb is the
+                # fallback when a host resize follows — warm both programs
+                for mode in ("yuv420", "rgb"):
+                    timed(
+                        f"{fam}/tiled-{mode}/{tc}",
+                        lambda c=canvas, f=fam, t=tile, m=mode: self.sr_tiled(
+                            c, f, tile=t, output=m
+                        ),
+                    )
             else:
                 for size in sizes:
                     for batch in batches:
