@@ -59,7 +59,7 @@ def test_warmup_serving_covers_every_surface(tmp_path, monkeypatch):
     tags = set(report)
     assert {"restore-unet-small/restore/32/b1", "restore-unet-small/restore/32/b2"} <= tags
     assert {"diffusion-restore/restore/32/b1", "diffusion-restore/restore/32/b2"} <= tags
-    assert {"sr-x2/direct/32", "sr-x2/tiled/96"} <= tags
+    assert {"sr-x2/direct/32", "sr-x2/tiled-rgb/96", "sr-x2/tiled-yuv420/96"} <= tags
     assert "fusion/k3/32" in tags
     compiles_after_warm = engine.compile_count
 
@@ -73,6 +73,10 @@ def test_warmup_serving_covers_every_surface(tmp_path, monkeypatch):
     engine.sr_batch(img32, "sr-x2")
     engine.sr_tiled(
         rng.integers(0, 255, (96, 96, 3)).astype(np.uint8), "sr-x2", tile=96
+    )
+    engine.sr_tiled(
+        rng.integers(0, 255, (96, 96, 3)).astype(np.uint8), "sr-x2", tile=96,
+        output="yuv420",
     )
     engine.fuse_batch(
         np.repeat(img32, 3, axis=0),
