@@ -1,0 +1,87 @@
+"""Training-distribution invariants (round-3 ambiguity fix).
+
+The phase-B retrain collapsed held-out gain from +17 dB to +4.7 dB because a
+linear exposure augmentation was pixel-identical to the lowLight degradation
+— 'dark input' carried two conflicting targets. These tests pin the three
+structural properties that restore well-posedness (train/data.py):
+
+1. creatively-graded cleans never receive the brightness/color-ambiguous
+   degradations (lowLight / fade / colorShift),
+2. the creative exposure grade preserves true highlights (y(1)=1) while the
+   lowLight degradation scales them away,
+3. underexposure damage carries signal-dependent shot noise; a creatively
+   dark clean image stays noiseless.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_restoration_platform_tpu.train.data import (
+    DataConfig,
+    _clean_photo_mix,
+    _degrade,
+)
+
+
+def test_protected_images_skip_ambiguous_degradations():
+    cfg = DataConfig(size=64, photo=True, clean_fraction=0.0)
+    clean = jnp.full((16, 64, 64, 3), 0.5, jnp.float32)
+    protect = jnp.ones((16, 1), jnp.float32)
+    _, strength = _degrade(jax.random.PRNGKey(0), clean, cfg, protect=protect)
+    s = np.asarray(strength)
+    assert np.all(s[:, 2] == 0.0), "lowLight must be gated off graded cleans"
+    assert np.all(s[:, 5] == 0.0), "fade must be gated off graded cleans"
+    assert np.all(s[:, 6] == 0.0), "colorShift must be gated off graded cleans"
+    # well-posed degradations stay active somewhere in the batch
+    assert s[:, [0, 1, 3, 4]].max() > 0.1
+
+
+def test_unprotected_images_keep_full_menu():
+    cfg = DataConfig(size=64, photo=True, clean_fraction=0.0)
+    clean = jnp.full((32, 64, 64, 3), 0.5, jnp.float32)
+    _, strength = _degrade(jax.random.PRNGKey(1), clean, cfg, protect=jnp.zeros((32, 1)))
+    s = np.asarray(strength)
+    for col in range(7):
+        assert s[:, col].max() > 0.1, f"degradation {col} never fired"
+
+
+def test_creative_exposure_preserves_highlights():
+    """A low-key grade must keep true highlights (the learnable cue
+    separating it from underexposure damage): images containing 1.0 pixels
+    keep a max near 1.0 after grading."""
+    key = jax.random.PRNGKey(3)
+    img, aug = _clean_photo_mix(key, 256, 32, 3)
+    img = np.asarray(img)
+    aug = np.asarray(aug)[:, 0] > 0.5
+    assert aug.any() and (~aug).any()
+    # the tone curve maps x=1 -> 1 exactly; desat/matte keep bright pixels
+    # bright. Check distribution-level: graded images are NOT uniformly
+    # scaled down — their 99.9th percentile stays well above the deepest
+    # exposure floor (0.2) that a linear gain would produce.
+    p999 = np.quantile(img[aug].reshape(aug.sum(), -1), 0.999, axis=1)
+    assert np.median(p999) > 0.6, float(np.median(p999))
+
+
+def test_dark_damage_carries_shot_noise_but_graded_dark_does_not():
+    cfg = DataConfig(size=64, photo=True, clean_fraction=0.0)
+    n = 8
+    clean = jnp.full((n, 64, 64, 3), 0.6, jnp.float32)
+
+    def hf_energy(x):
+        d = np.asarray(x)
+        return np.abs(np.diff(d, axis=2)).mean()
+
+    # force lowLight-only degradation by sampling until we find examples:
+    # instead, drive _degrade with protect=0 and measure correlation between
+    # applied lowLight strength and high-frequency energy of the output
+    deg, s = _degrade(jax.random.PRNGKey(7), clean, cfg, protect=jnp.zeros((n, 1)))
+    s = np.asarray(s)
+    d = np.asarray(deg)
+    hf = np.abs(np.diff(d, axis=2)).mean(axis=(1, 2, 3))
+    dark = s[:, 2] > 0.4
+    calm = (s[:, 2] < 0.05) & (s[:, 1] < 0.05) & (s[:, 0] < 0.05)
+    if dark.any() and calm.any():
+        assert hf[dark].mean() > hf[calm].mean(), (
+            "underexposure damage must carry shot noise (physical coupling)"
+        )
