@@ -42,6 +42,24 @@ def test_mesh_matches_single_device(mesh_engine):
     assert np.mean(np.abs(out_m.astype(int) - out_s.astype(int))) < 1.0
 
 
+def test_mesh_restore_folded_matches_single_device(cpu_devices):
+    """The W-folded flagship layout (fold-preserving decoder) on a dp x tp
+    mesh: folded params include 6-D phase kernels (replicated under TP) and
+    the phase-conv/interleave decoder — GSPMD must produce the same result
+    as single-device folded serving."""
+    mesh = make_mesh(data=4, tensor=2, spatial=1)
+    cfg = ServingConfig(size_buckets=(32,), max_batch=8, fold_w=True)
+    canvas = np.random.default_rng(5).integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    out_m, scores_m, _ = RestorationEngine(mesh=mesh, serving_config=cfg).restore_batch(
+        canvas, family_name="restore-unet-small"
+    )
+    out_s, scores_s, _ = RestorationEngine(serving_config=cfg).restore_batch(
+        canvas, family_name="restore-unet-small"
+    )
+    np.testing.assert_allclose(scores_m, scores_s, atol=1e-4)
+    assert np.mean(np.abs(out_m.astype(int) - out_s.astype(int))) < 1.0
+
+
 def test_mesh_path_uses_executable_cache(mesh_engine):
     """VERDICT round-1 weak #4: the multi-device branch must go through the
     executable cache, not plain jit — repeat calls reuse the compiled
