@@ -84,6 +84,7 @@ def main() -> None:
         diffusion_sampler_steps=int(os.environ.get("TRAIN_DIFFUSION_SAMPLER_STEPS", 0)),
         identity_weight=float(os.environ.get("TRAIN_IDENTITY_WEIGHT", 3.0)),
         data_photo=os.environ.get("TRAIN_DATA_PHOTO", "1") == "1",
+        data_mix_rich=float(os.environ.get("TRAIN_DATA_MIX_RICH", 0.0)),
     )
     ckpt_dir = os.environ.get("TRAIN_CKPT_DIR")
     trainer = Trainer(

@@ -56,6 +56,12 @@ class TrainConfig:
     diffusion_sampler_steps: int = 0
     # round-3 photographic-physics data distribution (DataConfig.photo)
     data_photo: bool = False
+    # fraction of batches drawn from the rich photo=False distribution when
+    # data_photo is on. The texture-heavy photo mix alone taught the SR
+    # families to hallucinate texture into smooth gradients (-5 dB vs
+    # nearest on the rich held-out); deterministic 50/50 interleaving keeps
+    # both regimes represented (both DataConfigs hit their own cached jit)
+    data_mix_rich: float = 0.0
 
 
 def charbonnier(pred, target, eps):
@@ -244,6 +250,8 @@ class Trainer:
                 self.logger.info("warm-started from weights", {"path": path})
         self.checkpoint_dir = checkpoint_dir
         self._data_cfg = DataConfig(size=cfg.image_size, photo=cfg.data_photo)
+        self._data_cfg_rich = DataConfig(size=cfg.image_size, photo=False)
+        self._mix_acc = 0.0
 
     def place_batch(self, batch):
         if self.mesh is None:
@@ -266,7 +274,15 @@ class Trainer:
         t0 = time.time()
         for i in range(steps):
             self._run_key, bk = jax.random.split(self._run_key)
-            batch = synthetic_batch(bk, self.cfg.batch_size, self._data_cfg)
+            cfg_step = self._data_cfg
+            if self.cfg.data_photo and self.cfg.data_mix_rich > 0.0:
+                # deterministic fraction-exact interleave of the two
+                # distributions (error-diffusion accumulator, no RNG sync)
+                self._mix_acc += self.cfg.data_mix_rich
+                if self._mix_acc >= 1.0:
+                    self._mix_acc -= 1.0
+                    cfg_step = self._data_cfg_rich
+            batch = synthetic_batch(bk, self.cfg.batch_size, cfg_step)
             batch = self.place_batch(batch)
             self.state, loss = self.step_fn(self.state, *batch)
             if i % log_every == 0 or i == steps - 1:
