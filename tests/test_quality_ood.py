@@ -1,0 +1,85 @@
+"""Out-of-distribution quality gates on the SHIPPED flagship weights
+(VERDICT r2 missing #2 / next #4): generator- and physics-disjoint
+degradations (train/ood.py) through the serving inference path.
+
+Thresholds are calibrated with margin against the round-3 weights (see
+BASELINE.md round-3 quality table); they gate REGRESSIONS, not aspirations:
+the strong classes must stay strongly positive, no class may be actively
+damaged, and clean OOD content must pass near-identity (the catastrophic
++80/255 dark-image brightening and the -5.7 dB texture destruction of the
+round-2 weights are what these pin down).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_restoration_platform_tpu.classify.fused import batch_classify_and_condition
+from image_restoration_platform_tpu.models import get_family
+from image_restoration_platform_tpu.models import weights as W
+from image_restoration_platform_tpu.train.ood import OOD_DEGRADATIONS, ood_clean, ood_eval_batch
+
+
+def _psnr(a, b):
+    mse = float(np.mean(np.square(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
+    return 10.0 * np.log10(1.0 / max(mse, 1e-10))
+
+
+@pytest.fixture(scope="module")
+def serve():
+    path = W.weights_path("restore-unet")
+    if not os.path.exists(path):
+        pytest.skip("no shipped flagship weights")
+    family = get_family("restore-unet")
+    template = family.init(jax.random.PRNGKey(0), family.config)
+    params = W.load_params(template, path)
+
+    @jax.jit
+    def fn(degraded):
+        n, s = degraded.shape[0], degraded.shape[1]
+        valid = jnp.tile(jnp.asarray([[s, s]], jnp.int32), (n, 1))
+        _s, cond = batch_classify_and_condition(
+            degraded * 255.0, valid, jnp.ones((n,), jnp.float32)
+        )
+        pred = family.apply(
+            params, degraded.astype(jnp.bfloat16), cond.astype(jnp.bfloat16),
+            config=family.config,
+        )
+        return jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+
+    return fn
+
+
+# per-class minimum gain (dB): strong classes gate high; mild-blur classes
+# gate at "no active damage" (their OOD inputs sit at ~25 dB with little
+# recoverable headroom — see scripts/eval_ood.py output in BASELINE.md)
+_GATES = {
+    "poisson_gaussian": 3.0,
+    "defocus": -1.5,
+    "motion": -1.5,
+    "jpeg_q10_60": -1.5,
+    "vignette_low_light": 5.0,
+    "chained": 1.0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_GATES))
+def test_flagship_ood_gain(serve, name):
+    degraded, clean = ood_eval_batch(2026, 8, 128, name)
+    pred = np.asarray(serve(jnp.asarray(degraded)))
+    gain = _psnr(pred, clean) - _psnr(degraded, clean)
+    assert gain > _GATES[name], f"{name}: OOD gain {gain:.2f} dB below gate {_GATES[name]}"
+
+
+def test_flagship_ood_clean_no_harm(serve):
+    """Near-identity on clean OOD content, in aggregate AND per image —
+    aggregates hid the +80/255 dark-image outlier."""
+    rng = np.random.default_rng(2027)
+    clean = ood_clean(rng, 8, 128)
+    pred = np.asarray(serve(jnp.asarray(clean)))
+    per_mad = np.mean(np.abs(pred - clean), axis=(1, 2, 3)) * 255.0
+    assert per_mad.mean() < 4.0, f"mean OOD clean harm {per_mad.mean():.2f}/255"
+    assert per_mad.max() < 16.0, f"worst OOD clean harm {per_mad.max():.2f}/255"
