@@ -10,7 +10,7 @@ LOGDIR=${LOGDIR:-/tmp/retrain_r3z}
 mkdir -p "$LOGDIR"
 
 probe() {
-  timeout 180 python - <<'EOF' > /dev/null 2>&1
+  timeout 420 python - <<'EOF' > /dev/null 2>&1
 import jax
 assert jax.devices()[0].platform != "cpu"
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ EOF
 wait_chip() {
   until probe; do
     echo "chip unavailable; sleeping 120s" >> "$LOGDIR/health.log"
-    sleep 120
+    sleep 180
   done
   echo "chip healthy at $(date -u +%H:%M:%S)" >> "$LOGDIR/health.log"
 }
