@@ -38,7 +38,15 @@ def main() -> None:
 
     import jax
 
-    log(f"devices: {jax.devices()}")
+    try:
+        devices = jax.devices()
+    except RuntimeError as error:
+        # TPU tunnel outages happen (axon terminal down); a CPU number with
+        # honest labeling beats no number for the round record
+        log(f"TPU backend unavailable ({error}); falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+        devices = jax.devices()
+    log(f"devices: {devices}")
 
     cfg = ServingConfig(size_buckets=(512,), max_batch=8)
     engine = RestorationEngine(serving_config=cfg)
