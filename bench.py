@@ -6,6 +6,13 @@ classification + conditioning + restoration U-Net, one XLA launch) -> crop ->
 JPEG encode. Reports the primary metric as ONE JSON line on stdout; detail
 metrics (batched device throughput, p50/p95 latency) go to stderr.
 
+Indestructibility contract (VERDICT r3 weak #1): the headline JSON prints as
+soon as the core sections (single + batched + device-only) finish; the
+per-family sweep runs afterwards, logs to stderr only, and is skipped on CPU
+fallback. On CPU fallback every section is capped so the whole run finishes
+in well under 10 minutes on a 1-core box. A global deadline short-circuits
+any section overrun straight to the JSON print + exit 0.
+
 vs_baseline compares against the CPU reference of the SAME pipeline, measured
 on this machine (1-core CPU, XLA:CPU, flagship restore-unet, 512px e2e):
 0.0454 images/sec — see BASELINE.md. The north-star target is >=10x.
@@ -22,31 +29,57 @@ import numpy as np
 
 CPU_BASELINE_IMAGES_PER_SEC = 0.0454  # re-measured 2026-08-16 post stencil-fusion, see BASELINE.md
 
-N_WARM = 2
-N_SINGLE = 12
-N_BATCHED_STEPS = 6
-
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
 def main() -> None:
+    t_start = time.time()
+
     from image_restoration_platform_tpu import imageio
     from image_restoration_platform_tpu.config import ServingConfig
     from image_restoration_platform_tpu.serve import RestorationEngine, RestoratorService
 
     import jax
 
+    # TPU tunnel outages happen (axon terminal down), and a dead tunnel can
+    # make jax.devices() HANG in-process rather than raise (observed r4) —
+    # so probe the default backend in a killable subprocess first, and fall
+    # back to CPU (honestly labeled; the env pin JAX_PLATFORMS=axon is only
+    # overridable via jax.config, not the env var, on this sandbox image).
+    import subprocess
+
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "180"))
     try:
-        devices = jax.devices()
-    except RuntimeError as error:
-        # TPU tunnel outages happen (axon terminal down); a CPU number with
-        # honest labeling beats no number for the round record
-        log(f"TPU backend unavailable ({error}); falling back to CPU")
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            timeout=probe_timeout,
+            capture_output=True,
+        )
+        tpu_ok = probe.returncode == 0
+        if not tpu_ok:
+            log(f"TPU probe failed: {probe.stderr.decode()[-500:]}")
+    except subprocess.TimeoutExpired:
+        tpu_ok = False
+        log(f"TPU probe hung past {probe_timeout:.0f}s (tunnel down)")
+    if not tpu_ok:
+        log("TPU backend unavailable; falling back to CPU")
         jax.config.update("jax_platforms", "cpu")
-        devices = jax.devices()
+    devices = jax.devices()
     log(f"devices: {devices}")
+    on_cpu = devices[0].platform == "cpu"
+
+    # CPU fallback runs every section with tiny counts so the full script
+    # (incl. one cold XLA:CPU compile) stays under a 10-minute kill.
+    n_warm = 1 if on_cpu else 2
+    n_single = 3 if on_cpu else 12
+    n_batched = 2 if on_cpu else 6
+    chain_reps = 3 if on_cpu else 20
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "420" if on_cpu else "3000"))
+
+    def out_of_time() -> bool:
+        return time.time() - t_start > deadline_s
 
     cfg = ServingConfig(size_buckets=(512,), max_batch=8)
     engine = RestorationEngine(serving_config=cfg)
@@ -56,9 +89,11 @@ def main() -> None:
     img = np.clip(rng.normal(0, 20, (512, 512, 3)) + [90, 80, 70], 0, 255).astype(np.uint8)
     photo = imageio.encode_jpeg(img, quality=80)
 
+    detail: dict = {"platform": devices[0].platform, "sections_skipped": []}
+
     # ---- warmup (compile; persistent cache makes reruns fast)
     t0 = time.time()
-    for _ in range(N_WARM):
+    for _ in range(n_warm):
         result = service.restore(photo, options={"model": "restore-unet"})
         assert result["success"], result.get("error")
     log(f"warmup: {time.time() - t0:.1f}s")
@@ -66,78 +101,114 @@ def main() -> None:
     # ---- single-image e2e latency/throughput
     latencies = []
     t0 = time.time()
-    for _ in range(N_SINGLE):
+    for _ in range(n_single):
         t = time.time()
         result = service.restore(photo, options={"model": "restore-unet"})
         assert result["success"]
         latencies.append((time.time() - t) * 1000)
     wall = time.time() - t0
-    e2e_ips = N_SINGLE / wall
+    e2e_ips = n_single / wall
     lat = np.asarray(latencies)
+    detail["p50_ms"] = round(float(np.percentile(lat, 50)), 1)
+    detail["p95_ms"] = round(float(np.percentile(lat, 95)), 1)
     log(
         f"e2e single 512px: {e2e_ips:.3f} images/sec | "
-        f"p50 {np.percentile(lat, 50):.0f} ms | p95 {np.percentile(lat, 95):.0f} ms"
+        f"p50 {detail['p50_ms']:.0f} ms | p95 {detail['p95_ms']:.0f} ms"
     )
 
     # ---- batched device throughput (continuous micro-batching upper bound)
     canvas = np.repeat(img[None], cfg.max_batch, axis=0)
     valid = np.tile(np.asarray([[512, 512]], np.int32), (cfg.max_batch, 1))
     jpeg_f = np.ones((cfg.max_batch,), np.float32)
-    engine.restore_batch(canvas, valid, jpeg_f, "restore-unet")  # warm batch-8
-    t0 = time.time()
-    for _ in range(N_BATCHED_STEPS):
-        engine.restore_batch(canvas, valid, jpeg_f, "restore-unet")
-    batched_ips = (N_BATCHED_STEPS * cfg.max_batch) / (time.time() - t0)
-    log(f"batched device 512px (b{cfg.max_batch}): {batched_ips:.3f} images/sec/chip")
+    if not out_of_time():
+        engine.restore_batch(canvas, valid, jpeg_f, "restore-unet")  # warm batch-8
+        t0 = time.time()
+        for _ in range(n_batched):
+            engine.restore_batch(canvas, valid, jpeg_f, "restore-unet")
+        batched_ips = (n_batched * cfg.max_batch) / (time.time() - t0)
+        detail["batched_images_per_sec_per_chip"] = round(batched_ips, 3)
+        log(f"batched device 512px (b{cfg.max_batch}): {batched_ips:.3f} images/sec/chip")
+    else:
+        detail["sections_skipped"].append("batched")
 
     # ---- device-only step cost + MFU (repeat-launch on the cached executable,
     # blocking once at the end: excludes host transfers and per-call overhead)
-    params = engine._params("restore-unet")
-    key_sig = next(
-        k
-        for k in engine._compiled
-        if isinstance(k, tuple)
-        and k[0] == "restore-unet"
-        and any(s == (tuple(canvas.shape), "uint8") for s in k[1:])
+    if not out_of_time() and "batched_images_per_sec_per_chip" in detail:
+        try:
+            params = engine._params("restore-unet")
+            key_sig = next(
+                k
+                for k in engine._compiled
+                if isinstance(k, tuple)
+                and k[0] == "restore-unet"
+                and any(s == (tuple(canvas.shape), "uint8") for s in k[1:])
+            )
+            exe = engine._compiled[key_sig]
+            args_d = (jax.device_put(canvas), valid, jpeg_f)
+            out, _ = exe(params, *args_d)
+            jax.block_until_ready(out)
+
+            # chain-differenced timing with a device_get sync: block_until_ready
+            # does not reliably serialize dispatched work on this TPU stack, so
+            # time an N-launch chain and a 1-launch chain, both ended by a
+            # synchronizing device_get, and take the difference
+            # (docs/STATUS.md measurement notes)
+            def _run_chain(n: int) -> float:
+                t0 = time.perf_counter()
+                o = None
+                for _ in range(n):
+                    o, _ = exe(params, *args_d)
+                jax.device_get(o[:1, :1, :1])
+                return time.perf_counter() - t0
+
+            _run_chain(1)
+            n_passes = 1 if on_cpu else 2
+            step_s = min(
+                (_run_chain(chain_reps) - _run_chain(1)) / (chain_reps - 1)
+                for _ in range(n_passes)
+            )
+            detail["device_ms_per_image_b8"] = round(step_s / cfg.max_batch * 1000.0, 3)
+            try:
+                flops = exe.cost_analysis()["flops"]
+                if not on_cpu:
+                    detail["mfu"] = round(flops / step_s / 197e12, 4)  # v5e bf16 peak
+            except Exception:
+                pass
+            log(
+                f"device-only 512px: {detail['device_ms_per_image_b8']:.3f} ms/img"
+                + (f" | MFU {detail['mfu']*100:.1f}%" if detail.get("mfu") else "")
+            )
+        except Exception as error:  # never let the diagnostic section kill the headline
+            log(f"device-only section failed: {error!r}")
+            detail["sections_skipped"].append("device_only")
+    else:
+        detail["sections_skipped"].append("device_only")
+
+    # ---- headline FIRST (VERDICT r3: the artifact must survive anything that
+    # happens after this line — family sweep overruns, tunnel death, kills)
+    if not detail["sections_skipped"]:
+        del detail["sections_skipped"]
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_512px_single_restore_e2e",
+                "value": round(e2e_ips, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(e2e_ips / CPU_BASELINE_IMAGES_PER_SEC, 2),
+                "detail": detail,
+            }
+        ),
+        flush=True,
     )
-    exe = engine._compiled[key_sig]
-    args_d = (jax.device_put(canvas), valid, jpeg_f)
-    out, _ = exe(params, *args_d)
-    jax.block_until_ready(out)
 
-    # chain-differenced timing with a device_get sync: block_until_ready does
-    # not reliably serialize dispatched work on this TPU stack, so time an
-    # N-launch chain and a 1-launch chain, both ended by a synchronizing
-    # device_get, and take the difference (docs/STATUS.md measurement notes)
-    def _run_chain(n: int) -> float:
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(n):
-            o, _ = exe(params, *args_d)
-        jax.device_get(o[:1, :1, :1])
-        return time.perf_counter() - t0
-
-    reps = 20
-    _run_chain(1)
-    step_s = min((_run_chain(reps) - _run_chain(1)) / (reps - 1) for _ in range(2))
-    device_ms_per_image = step_s / cfg.max_batch * 1000.0
-    mfu = None
-    try:
-        flops = exe.cost_analysis()["flops"]
-        if jax.devices()[0].platform != "cpu":
-            mfu = flops / step_s / 197e12  # v5e bf16 peak
-    except Exception:
-        pass
-    log(
-        f"device-only 512px: {device_ms_per_image:.3f} ms/img"
-        + (f" | MFU {mfu*100:.1f}%" if mfu else "")
-    )
-
-    # ---- per-family first-request (cold: compile or disk-cache load) vs
-    # warm steady latency. Covers every documented serving surface so the
-    # boot-warmup story (engine.warmup_serving / SERVE_WARMUP_FAMILIES) is
-    # measured, not asserted. Budget-bounded so a cold compile cascade can't
-    # blow the bench; skipped surfaces are logged.
+    # ---- per-family first-request (cold: compile or disk-cache load) vs warm
+    # steady latency, stderr-only. Covers every documented serving surface so
+    # the boot-warmup story (engine.warmup_serving / SERVE_WARMUP_FAMILIES) is
+    # measured, not asserted. Skipped entirely on CPU fallback (a cold compile
+    # cascade there blows any sane driver timeout); budget-bounded on TPU.
+    if on_cpu and os.environ.get("BENCH_FORCE_FAMILIES", "0") != "1":
+        log("family bench: skipped on CPU fallback")
+        return
     budget_s = float(os.environ.get("BENCH_FAMILY_BUDGET_S", "1200"))
     t_budget = time.time()
     img256 = img[:256, :256]
@@ -155,40 +226,20 @@ def main() -> None:
             np.tile(np.asarray([[512, 512]], np.int32), (3, 1)),
             np.ones((3,), np.float32))),
     ]
-    family_lat = {}
     for name, call in surfaces:
-        if time.time() - t_budget > budget_s:
+        if time.time() - t_budget > budget_s or out_of_time():
             log(f"family bench: budget exhausted, skipping {name}")
-            family_lat[name] = None
             continue
-        t = time.time()
-        call()
-        cold_ms = (time.time() - t) * 1000
-        t = time.time()
-        call()
-        warm_ms = (time.time() - t) * 1000
-        family_lat[name] = {"cold_ms": round(cold_ms, 1), "warm_ms": round(warm_ms, 1)}
-        log(f"family {name}: cold {cold_ms:.0f} ms -> warm {warm_ms:.0f} ms")
-
-    print(
-        json.dumps(
-            {
-                "metric": "images_per_sec_per_chip_512px_single_restore_e2e",
-                "value": round(e2e_ips, 4),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(e2e_ips / CPU_BASELINE_IMAGES_PER_SEC, 2),
-                "detail": {
-                    "p50_ms": round(float(np.percentile(lat, 50)), 1),
-                    "p95_ms": round(float(np.percentile(lat, 95)), 1),
-                    "batched_images_per_sec_per_chip": round(batched_ips, 3),
-                    "device_ms_per_image_b8": round(device_ms_per_image, 3),
-                    "mfu": round(mfu, 4) if mfu else None,
-                    "family_first_request": family_lat,
-                },
-            }
-        ),
-        flush=True,
-    )
+        try:
+            t = time.time()
+            call()
+            cold_ms = (time.time() - t) * 1000
+            t = time.time()
+            call()
+            warm_ms = (time.time() - t) * 1000
+            log(f"family {name}: cold {cold_ms:.0f} ms -> warm {warm_ms:.0f} ms")
+        except Exception as error:
+            log(f"family {name}: failed {error!r}")
 
 
 if __name__ == "__main__":

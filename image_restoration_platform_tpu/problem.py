@@ -93,6 +93,15 @@ def too_many_requests(detail: str, retry_after: int) -> Problem:
     )
 
 
+def bad_request(detail: str = "Invalid request.") -> Problem:
+    return Problem(
+        type=f"{_DOCS}/bad-request",
+        title="Bad Request",
+        status=400,
+        detail=detail,
+    )
+
+
 def image_missing() -> Problem:
     return Problem(
         type=f"{_DOCS}/image-missing",

@@ -79,8 +79,32 @@ class RestorationEngine:
         self._sharded_params: dict[str, dict] = {}
         self._lock = threading.Lock()
         self.device_seconds_total = 0.0
+        # device-time accounting state (guarded by _acct_lock): with
+        # pipeline_depth>1 batch N+1 dispatches while batch N executes, so
+        # wall-from-dispatch double-counts the overlapped window (ADVICE r3).
+        # _device_busy_until is the perf_counter stamp when the device last
+        # finished work; accounted time for a span is clipped to start no
+        # earlier than that.
+        self._acct_lock = threading.Lock()
+        self._device_busy_until = 0.0
         self.compile_count = 0  # actual XLA compiles (cache misses), for tests/ops
         self._rng_key = jax.random.PRNGKey(seed)
+
+    def _account_device_time(self, t0: float) -> float:
+        """Record a device-busy span [t0, now] into device_seconds_total,
+        overlap-corrected: the accounted start is clipped to the end of the
+        previously accounted span, so two pipelined batches whose windows
+        overlap never double-count device time (the basis for per-request
+        estimatedCostUsd and bench MFU). Thread-safe (collector thread and
+        sync callers share the accumulator). Returns the accounted seconds.
+        """
+        t_end = time.perf_counter()
+        with self._acct_lock:
+            start = max(t0, self._device_busy_until)
+            device_s = max(t_end - start, 0.0)
+            self._device_busy_until = t_end
+            self.device_seconds_total += device_s
+        return device_s
 
     def _mesh_key(self) -> tuple:
         """Mesh topology component of executable-cache keys."""
@@ -454,15 +478,18 @@ class RestorationEngine:
                 # v5e tunnel.
                 t_fetch = time.perf_counter()
                 out_h, scores_h = jax.device_get((out, scores))
-            device_s = time.perf_counter() - t0
-            self.device_seconds_total += device_s
+            wall_s = time.perf_counter() - t0
+            device_s = self._account_device_time(t0)
             meta = {
                 "engineRequestId": uuid.uuid4().hex,
                 # includes the device->host fetch (the fetch is the only sync
                 # point, so compute and transfer are not separable here); the
                 # fetch-only span is reported alongside so MFU-style
-                # derivations can subtract transport (ADVICE r2)
+                # derivations can subtract transport (ADVICE r2).
+                # deviceSeconds is overlap-corrected for pipelined batches;
+                # wallSeconds is raw dispatch->fetch (incl. queue wait).
                 "deviceSeconds": device_s,
+                "wallSeconds": wall_s,
                 "fetchSeconds": time.perf_counter() - t_fetch,
                 "batchBucket": bucket,
                 "batchOccupancy": n / bucket,
@@ -526,8 +553,7 @@ class RestorationEngine:
             fused, scores = executable(params, *args)
             t_fetch = time.perf_counter()
             fused_h, scores_h = jax.device_get((fused, scores))  # one round trip
-        device_s = time.perf_counter() - t0
-        self.device_seconds_total += device_s
+        device_s = self._account_device_time(t0)
         return (
             np.asarray(fused_h),
             np.asarray(scores_h),
@@ -551,8 +577,7 @@ class RestorationEngine:
             out_d = executable(params, imgs_d)
             t_fetch = time.perf_counter()
             out = jax.device_get(out_d)  # one round trip
-        device_s = time.perf_counter() - t0
-        self.device_seconds_total += device_s
+        device_s = self._account_device_time(t0)
         return np.asarray(out)[:n], {
             "engineRequestId": uuid.uuid4().hex,
             "deviceSeconds": device_s,
@@ -690,8 +715,7 @@ class RestorationEngine:
             out_d = executable(params, canvas_d)
             t_fetch = time.perf_counter()
             out = jax.device_get(out_d)  # one round trip
-        device_s = time.perf_counter() - t0
-        self.device_seconds_total += device_s
+        device_s = self._account_device_time(t0)
         if output == "yuv420":
             out = tuple(np.asarray(p) for p in out)
         else:
@@ -729,15 +753,17 @@ class RestorationEngine:
         halo = srnet.receptive_halo(cfg)
         sp = self.mesh.shape[AXIS_SPATIAL]
         h_in = canvas_u8.shape[0]
-        # arbitrary heights: zero-pad rows to the next multiple of the spatial
-        # axis and crop the output. Zero rows reproduce XLA 'SAME' zero-pad
-        # semantics at the first layer; the result is defined as (and tested
-        # bit-identical to) the single-device program on the same padded
-        # canvas, cropped — VERDICT r2 next #10.
+        # arbitrary heights: edge-replicate rows to the next multiple of the
+        # spatial axis and crop the output. Replicated rows match the image
+        # content far better than zeros near the bottom edge (ADVICE r3 #4:
+        # zero rows made the emitted bottom rows depend on mesh shape via a
+        # black border bleeding through the receptive field). The result is
+        # defined as (and tested bit-identical to) the single-device program
+        # on the same edge-padded canvas, cropped — VERDICT r2 next #10.
         pad_rows = (-h_in) % sp
         if pad_rows:
             canvas_u8 = np.concatenate(
-                [canvas_u8, np.zeros((pad_rows,) + canvas_u8.shape[1:], np.uint8)], axis=0
+                [canvas_u8, np.repeat(canvas_u8[-1:], pad_rows, axis=0)], axis=0
             )
         h = canvas_u8.shape[0]
         dtype = self.dtype
@@ -783,8 +809,7 @@ class RestorationEngine:
             out_d = executable(params, canvas_d)
             t_fetch = time.perf_counter()
             out = jax.device_get(out_d)  # one round trip
-        device_s = time.perf_counter() - t0
-        self.device_seconds_total += device_s
+        device_s = self._account_device_time(t0)
         out = np.asarray(out)
         if pad_rows:
             out = out[: h_in * scale]

@@ -555,12 +555,43 @@ class TestAdmin:
         run(ctx, check)
 
     def test_admin_dev_open_flag(self, ctx, monkeypatch):
+        """The dev escape hatch requires BOTH flags (VERDICT r3 weak #6)."""
         monkeypatch.delenv("ADMIN_USERS", raising=False)
         monkeypatch.setenv("ADMIN_DEV_OPEN", "1")
+        monkeypatch.setenv("ALLOW_DEGRADED", "1")
 
         async def check(client):
             resp = await client.get("/v1/admin/analytics", headers=AUTH)
             assert resp.status == 200
+
+        run(ctx, check)
+
+    def test_admin_dev_open_refused_without_allow_degraded(self, ctx, monkeypatch):
+        """ADMIN_DEV_OPEN alone (e.g. a stray env var on a production box)
+        must NOT open admin routes; it only works with ALLOW_DEGRADED=1."""
+        monkeypatch.delenv("ADMIN_USERS", raising=False)
+        monkeypatch.setenv("ADMIN_DEV_OPEN", "1")
+        monkeypatch.delenv("ALLOW_DEGRADED", raising=False)
+
+        async def check(client):
+            resp = await client.get("/v1/admin/analytics", headers=AUTH)
+            assert resp.status == 403
+
+        run(ctx, check)
+
+    def test_admin_traces_limit_validation(self, ctx, monkeypatch):
+        """Negative limits must not bypass the 512 cap via spans[-limit:],
+        and non-numeric limits are a 400, not a 500 (ADVICE r3 #2)."""
+        monkeypatch.setenv("ADMIN_USERS", "alice")
+
+        async def check(client):
+            resp = await client.get("/v1/admin/traces?limit=-1", headers=AUTH)
+            assert resp.status == 200
+            body = await resp.json()
+            scope = body["resourceSpans"][0]["scopeSpans"][0]
+            assert len(scope["spans"]) <= 1  # clamped to >= 1, not the whole ring
+            resp = await client.get("/v1/admin/traces?limit=bogus", headers=AUTH)
+            assert resp.status == 400
 
         run(ctx, check)
 

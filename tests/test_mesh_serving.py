@@ -130,9 +130,11 @@ def test_sr_spatial_matches_single_device(cpu_devices):
 
 
 def test_sr_spatial_pads_arbitrary_heights(cpu_devices):
-    """Heights not divisible by the spatial axis zero-pad to the next multiple
-    and crop (VERDICT r2 next #10). Semantics: bit-identical to the
-    single-device program on the same zero-padded canvas, cropped."""
+    """Heights not divisible by the spatial axis edge-replicate to the next
+    multiple and crop (VERDICT r2 next #10; ADVICE r3 #4 switched the pad fill
+    from zeros to edge rows so no black border bleeds into emitted rows).
+    Semantics: bit-identical to the single-device program on the same
+    edge-padded canvas, cropped."""
     import jax
     import jax.numpy as jnp
 
@@ -148,7 +150,7 @@ def test_sr_spatial_pads_arbitrary_heights(cpu_devices):
     assert meta["paddedRows"] == 3
     assert out.shape == (101 * scale, 64 * scale, 3)
 
-    padded = np.concatenate([canvas, np.zeros((3, 64, 3), np.uint8)], axis=0)  # to 104 = 8*13
+    padded = np.concatenate([canvas, np.repeat(canvas[-1:], 3, axis=0)], axis=0)  # to 104 = 8*13
     params = engine.params_cache.get("sr-x2")
 
     def reference(params, canvas_f):
