@@ -32,6 +32,13 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--family", default="restore-unet")
     ap.add_argument("--seed", type=int, default=2026)
+    ap.add_argument(
+        "--corpus",
+        choices=("ood", "real"),
+        default="ood",
+        help="ood = procedural disjoint generators (train/ood.py); real = "
+        "real photographs bundled in the sandbox (train/realphoto.py)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -47,6 +54,17 @@ def main() -> None:
     from image_restoration_platform_tpu.models import get_family
     from image_restoration_platform_tpu.models import weights as W
     from image_restoration_platform_tpu.train.ood import OOD_DEGRADATIONS, ood_clean, ood_eval_batch
+
+    if args.corpus == "real":
+        from image_restoration_platform_tpu.train.realphoto import (
+            available_sources,
+            real_clean_patches as clean_fn,
+            real_eval_batch as batch_fn,
+        )
+
+        print(f"real-photo sources: {len(available_sources())}", file=sys.stderr)
+    else:
+        clean_fn, batch_fn = ood_clean, ood_eval_batch
 
     def psnr(a, b):
         mse = float(np.mean(np.square(np.asarray(a, np.float32) - np.asarray(b, np.float32))))
@@ -77,9 +95,9 @@ def main() -> None:
         return jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
 
     report = {}
-    print(f"family={args.family} n={args.n} size={args.size}", file=sys.stderr)
+    print(f"family={args.family} n={args.n} size={args.size} corpus={args.corpus}", file=sys.stderr)
     for name in OOD_DEGRADATIONS:
-        degraded, clean = ood_eval_batch(args.seed, args.n, args.size, name)
+        degraded, clean = batch_fn(args.seed, args.n, args.size, name)
         pred = np.asarray(serve(jnp.asarray(degraded)))
         p_in, p_out = psnr(degraded, clean), psnr(pred, clean)
         report[name] = {
@@ -96,7 +114,7 @@ def main() -> None:
     # bounded harm on clean OOD inputs (the "good condition -> subtle
     # enhancements only" contract, measured off-distribution)
     rng = np.random.default_rng(args.seed + 1)
-    clean = ood_clean(rng, args.n, args.size)
+    clean = clean_fn(rng, args.n, args.size)
     pred = np.asarray(serve(jnp.asarray(clean)))
     harm_psnr = psnr(pred, clean)
     mad = float(np.mean(np.abs(pred - clean))) * 255.0
@@ -116,7 +134,12 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    print(json.dumps({"family": args.family, "n": args.n, "size": args.size, "ood": report}))
+    print(
+        json.dumps(
+            {"family": args.family, "n": args.n, "size": args.size,
+             "corpus": args.corpus, "ood": report}
+        )
+    )
 
 
 if __name__ == "__main__":
