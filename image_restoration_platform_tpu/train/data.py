@@ -55,6 +55,17 @@ class DataConfig:
     # lengths x 8 angles) so continuous eval kernels interpolate, (d) the
     # real-DCT JPEG variant fires at 75% instead of 50%.
     deconv: bool = False
+    # aperiodic photographic micro-texture cleans (round-4): the first
+    # real-photo evaluation (train/realphoto.py) measured 9-14/255 clean harm
+    # on grain/tile/marble/grass content — the classifier scores aperiodic
+    # micro-texture noise~1.0 + compression high, and training cleans only
+    # ever carried PERIODIC texture (dots/stripes), so the model smooths
+    # stochastic texture away. grain=True mixes a band-pass filtered-noise
+    # texture family (anisotropic correlated grain over smooth bases —
+    # construction disjoint from both train and OOD generators) into the
+    # photo clean mix so "conditioning says noise, target says preserve"
+    # covers the aperiodic case too.
+    grain: bool = False
 
 
 def _random_clean(key, n, size, channels):
@@ -305,7 +316,70 @@ def _periodic_texture(key, n, size, channels):
     return jnp.clip(img, 0.0, 1.0)
 
 
-def _clean_photo_mix(key, n, size, channels):
+def _grain_texture(key, n, size, channels):
+    """Aperiodic photographic micro-texture: anisotropically correlated
+    band-pass noise riding a smooth base — the statistics of grass, fabric,
+    stone grain, sensor noise baked into content. Round-4 real-photo eval
+    (train/realphoto.py) measured 9-14/255 clean harm exactly on such
+    content; the periodic-texture family covers lattices but nothing
+    stochastic.
+
+    Construction (disjoint from OOD's numpy generators and from the additive
+    iid noise DEGRADATION, which is what the model must still remove): white
+    noise is correlated by a per-image random blend of directional 3x3
+    smoothing kernels and band-passed by subtracting a wider smooth, giving
+    spatially-correlated, anisotropic texture; a coarser half-resolution
+    octave adds clumping. The degradation pipeline later adds *iid* noise on
+    top — separable from this correlated texture, so the task stays
+    well-posed."""
+    ks = jax.random.split(key, 8)
+    base = _random_clean(ks[0], n, size, channels)
+
+    def correlated(key_n, s):
+        noise = jax.random.normal(key_n, (n, 1, s, s))
+        # directional smoothing bank: iso / horizontal / vertical / diagonal;
+        # convolve once per bank kernel (shared weights), blend per image —
+        # one [4,1,3,3] conv instead of per-image kernels
+        k_iso = jnp.asarray([[1, 2, 1], [2, 4, 2], [1, 2, 1]], jnp.float32) / 16
+        k_h = jnp.asarray([[0, 0, 0], [1, 2, 1], [0, 0, 0]], jnp.float32) / 4
+        k_v = k_h.T
+        k_d = jnp.eye(3, dtype=jnp.float32) / 3
+        bank = jnp.stack([k_iso, k_h, k_v, k_d])[:, None]  # [4,1,3,3]
+        dn = ("NCHW", "OIHW", "NCHW")
+        smooth4 = jax.lax.conv_general_dilated(
+            noise, bank, (1, 1), "SAME", dimension_numbers=dn
+        )  # [n,4,s,s]
+        w = jax.random.dirichlet(jax.random.fold_in(key_n, 1), jnp.ones(4), (n,))
+        smooth = jnp.einsum("nkhw,nk->nhw", smooth4, w)[:, None]  # [n,1,s,s]
+        # band-pass: remove the local DC the smoothing kept
+        box = jnp.full((1, 1, 3, 3), 1.0 / 9.0)
+        wide = jax.lax.conv_general_dilated(
+            smooth, box, (1, 1), "SAME", dimension_numbers=dn
+        )
+        return jnp.transpose(smooth - wide, (0, 2, 3, 1))  # [n,s,s,1]
+
+    fine = correlated(ks[1], size)
+    coarse = correlated(ks[2], size // 2)
+    coarse = jnp.repeat(jnp.repeat(coarse, 2, axis=1), 2, axis=2)
+    octave_w = jax.random.uniform(ks[3], (n, 1, 1, 1), minval=0.2, maxval=0.8)
+    g = fine * (1.0 - octave_w) + coarse * octave_w
+    g = g / (jnp.std(g, axis=(1, 2, 3), keepdims=True) + 1e-6)
+    amp = jax.random.uniform(ks[4], (n, 1, 1, 1), minval=0.02, maxval=0.12)
+    # mostly-luma grain with a small independent chroma component, amplitude
+    # coupled to local luminance (shadows grain less than mids, like film)
+    chroma = 0.25 * jax.random.normal(ks[5], (n, size, size, channels)) * jnp.abs(g)
+    lum_couple = 0.3 + 0.7 * base
+    img = base + (g + chroma) * amp * lum_couple
+    # occasional partial coverage: texture as a region of a photo
+    partial = jax.random.bernoulli(ks[6], 0.3, (n, 1, 1, 1))
+    yy = jnp.linspace(0.0, 1.0, size)[None, :, None, None]
+    cy = jax.random.uniform(ks[7], (n, 1, 1, 1))
+    mask = jax.nn.sigmoid((yy - cy) * 25.0)
+    img = jnp.where(partial, img * mask + base * (1.0 - mask), img)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def _clean_photo_mix(key, n, size, channels, grain=False):
     """Round-3 clean distribution: rich natural-statistics images plus the
     flat/saturated geometric families the round-2 model had never seen,
     finished with creative-grade augmentation (low-key exposure, matte
@@ -341,6 +415,11 @@ def _clean_photo_mix(key, n, size, channels):
         flat,
         jnp.where(u < 0.33, cells, jnp.where(u < 0.47, tex, rich)),
     )
+    if grain:
+        # round-4: aperiodic micro-texture cleans take a 15% share, carved
+        # from the rich slice (u in [0.47, 0.62)); see DataConfig.grain
+        gtex = _grain_texture(jax.random.fold_in(key, 33), n, size, channels)
+        img = jnp.where((u >= 0.47) & (u < 0.62), gtex, img)
 
     ka, kb, kc, kd, ke, kf = jax.random.split(k4, 6)
     # low-key exposure: crush shadows/mids, keep true highlights (y(1)=1).
@@ -687,7 +766,7 @@ def synthetic_batch(key: jax.Array, n: int, cfg: DataConfig = DataConfig()):
 
     k_clean, k_deg, k_jpeg = jax.random.split(key, 3)
     if cfg.photo:
-        clean, aug = _clean_photo_mix(k_clean, n, cfg.size, cfg.channels)
+        clean, aug = _clean_photo_mix(k_clean, n, cfg.size, cfg.channels, grain=cfg.grain)
     else:
         gen = _random_clean_rich if cfg.rich else _random_clean
         clean = gen(k_clean, n, cfg.size, cfg.channels)

@@ -65,6 +65,9 @@ class TrainConfig:
     # round-4 deconvolution emphasis (DataConfig.deconv): strong-tail PSF
     # and DCT damage so the model learns real deblur/dejpeg inversion
     data_deconv: bool = False
+    # round-4 aperiodic micro-texture cleans (DataConfig.grain): real-photo
+    # clean-harm fix — stochastic texture the model must PRESERVE
+    data_grain: bool = False
 
 
 def charbonnier(pred, target, eps):
@@ -253,7 +256,10 @@ class Trainer:
                 self.logger.info("warm-started from weights", {"path": path})
         self.checkpoint_dir = checkpoint_dir
         self._data_cfg = DataConfig(
-            size=cfg.image_size, photo=cfg.data_photo, deconv=cfg.data_deconv
+            size=cfg.image_size,
+            photo=cfg.data_photo,
+            deconv=cfg.data_deconv,
+            grain=cfg.data_grain,
         )
         self._data_cfg_rich = DataConfig(size=cfg.image_size, photo=False)
         self._mix_acc = 0.0

@@ -75,15 +75,16 @@ run_phase() {
 }
 
 run_phase unet_deconv128 TRAIN_FAMILY=restore-unet TRAIN_RESUME=1 \
-  TRAIN_DATA_PHOTO=1 TRAIN_DATA_DECONV=1 TRAIN_DATA_MIX_RICH=0.25 \
+  TRAIN_DATA_PHOTO=1 TRAIN_DATA_DECONV=1 TRAIN_DATA_GRAIN=1 TRAIN_DATA_MIX_RICH=0.25 \
   TRAIN_STEPS=40000 TRAIN_BATCH=32 TRAIN_SIZE=128 TRAIN_LR=5e-5 \
   TRAIN_IDENTITY_WEIGHT=4.0 TRAIN_EXPORT_EVERY=10000
 run_phase unet_deconv256 TRAIN_FAMILY=restore-unet TRAIN_RESUME=1 \
-  TRAIN_DATA_PHOTO=1 TRAIN_DATA_DECONV=1 TRAIN_DATA_MIX_RICH=0.25 \
+  TRAIN_DATA_PHOTO=1 TRAIN_DATA_DECONV=1 TRAIN_DATA_GRAIN=1 TRAIN_DATA_MIX_RICH=0.25 \
   TRAIN_STEPS=3000 TRAIN_BATCH=8 TRAIN_SIZE=256 TRAIN_LR=1.5e-5 \
   TRAIN_IDENTITY_WEIGHT=4.0
 wait_chip
 timeout 3600 python scripts/eval_ood.py > "$LOGDIR/ood_after_deconv.log" 2>&1
+timeout 3600 python scripts/eval_ood.py --corpus real > "$LOGDIR/real_after_deconv.log" 2>&1
 timeout 3600 python scripts/eval_quality.py > "$LOGDIR/quality_after_deconv.log" 2>&1
 
 run_phase srx2_mix TRAIN_FAMILY=sr-x2 TRAIN_RESUME=1 TRAIN_DATA_PHOTO=1 \

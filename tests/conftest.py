@@ -27,6 +27,7 @@ import pytest  # noqa: E402
 SLOW_MODULES = {
     "test_quality",
     "test_quality_ood",
+    "test_quality_real",
     "test_mesh_serving",
     "test_mesh_throughput",
     "test_multihost",

@@ -117,3 +117,40 @@ def test_deconv_emphasis_strong_tail():
         )
     # non-emphasized channels keep their distribution (noise col 1)
     np.testing.assert_allclose(s_on[:, 1], s_off[:, 1], atol=1e-6)
+
+
+def test_grain_texture_matches_real_photo_classifier_regime():
+    """The grain clean family exists to cover the real-photo conditioning
+    regime (noise ~1 on clean content, realphoto diagnosis round 4): the
+    serving classifier must score grain cleans high on noise while the
+    content remains the TARGET (preserve, don't smooth)."""
+    from image_restoration_platform_tpu.classify.fused import (
+        batch_classify_and_condition,
+    )
+    from image_restoration_platform_tpu.train.data import _grain_texture
+
+    g = _grain_texture(jax.random.PRNGKey(11), 16, 64, 3)
+    valid = jnp.tile(jnp.asarray([[64, 64]], jnp.int32), (16, 1))
+    scores, _ = batch_classify_and_condition(g * 255.0, valid, jnp.ones((16,)))
+    s = np.asarray(scores)
+    assert s[:, 1].mean() > 0.6, f"noise score {s[:, 1].mean():.2f} too low"
+    # texture must be spatially correlated (anisotropic band-pass), not iid:
+    # neighbor correlation of the high-frequency residual stays positive
+    hf = np.asarray(g - np.asarray(g).mean(axis=(1, 2), keepdims=True))
+    x = hf[:, :-1, :, 0].ravel()
+    y = hf[:, 1:, :, 0].ravel()
+    corr = np.corrcoef(x, y)[0, 1]
+    assert corr > 0.5, f"grain not spatially correlated: {corr:.2f}"
+
+
+def test_grain_mix_share():
+    """grain=True carves its share from the rich slice; other families keep
+    their shares (deterministic u-thresholds)."""
+    from image_restoration_platform_tpu.train.data import _clean_photo_mix
+
+    key = jax.random.PRNGKey(17)
+    img_off, aug_off = _clean_photo_mix(key, 64, 32, 3, grain=False)
+    img_on, aug_on = _clean_photo_mix(key, 64, 32, 3, grain=True)
+    changed = np.mean(np.any(np.asarray(img_off != img_on), axis=(1, 2, 3)))
+    assert 0.05 < changed < 0.30, f"grain share {changed:.2f} out of range"
+    np.testing.assert_array_equal(np.asarray(aug_off), np.asarray(aug_on))
