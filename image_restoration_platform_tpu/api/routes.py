@@ -94,6 +94,22 @@ async def health_ready(request: web.Request) -> web.Response:
     )
     dependencies["imageio"]["latencyMs"] = round((time.perf_counter() - t_probe) * 1000, 2)
 
+    # blob tier (GCS analog): disk = ok with per-prefix object counts,
+    # memory fake = degraded (uploads/results do not survive restarts) —
+    # same semantics as the reference's degraded-client reporting
+    t_probe = time.perf_counter()
+    from ..serve.blobs import DiskBlobStore
+
+    if isinstance(ctx.blobs, DiskBlobStore):
+        dependencies["blobs"] = {"status": "ok", "mode": "disk", **ctx.blobs.stats()}
+    else:
+        dependencies["blobs"] = {
+            "status": "degraded",
+            "mode": "memory",
+            "reason": "BLOB_STORE_PATH unset; uploads/results are process-local",
+        }
+    dependencies["blobs"]["latencyMs"] = round((time.perf_counter() - t_probe) * 1000, 2)
+
     # backpressure signal: a deeply backed-up device queue degrades readiness
     t_probe = time.perf_counter()
     queue_depth = (ctx.batcher.depth() if ctx.batcher else 0) + ctx.queue.depth()
@@ -645,6 +661,11 @@ async def metrics_endpoint(request: web.Request) -> web.Response:
     lines.append("# TYPE http_request_duration_ms_p95 gauge")
     lines.append(f"http_request_duration_ms_p95 {requests['p95Ms']}")
     lines.append(f"http_request_duration_ms_avg {requests['averageMs']}")
+    # durable blob tier object counts per retention prefix (disk mode only)
+    ctx: AppContext = request.app["ctx"]
+    for prefix, count in sorted(ctx.blobs.stats().items()):
+        lines.append(f"# TYPE irp_blobs_{prefix} gauge")
+        lines.append(f"irp_blobs_{prefix} {count}")
     return web.Response(text="\n".join(lines) + "\n", content_type="text/plain")
 
 

@@ -174,3 +174,36 @@ class TestUploadRestartSubmit:
         # route-level rule (api/routes.py submit_job): meta userId must match
         assert meta["userId"] == "alice"
         assert meta["userId"] != "mallory"
+
+
+class TestHealthSurfaces:
+    def test_ready_reports_blob_tier_and_metrics_gauges(self, tmp_path, monkeypatch):
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from image_restoration_platform_tpu.api import AppContext, create_app
+        from image_restoration_platform_tpu.config import Config, ServingConfig
+
+        monkeypatch.setenv("BLOB_STORE_PATH", str(tmp_path / "blobs"))
+        cfg = Config()
+        cfg.serving = ServingConfig(size_buckets=(64,), max_batch=4, max_wait_ms=2.0)
+        ctx = AppContext(config=cfg, use_batcher=False, queue_workers=1)
+        ctx.blobs.put("seed", b"x", user_id="alice")
+
+        async def check():
+            app = create_app(ctx=ctx, config=ctx.config)
+            app.on_shutdown.clear()
+            async with TestClient(TestServer(app)) as client:
+                body = await (await client.get("/health/ready")).json()
+                blobs = body["dependencies"]["blobs"]
+                assert blobs["status"] == "ok" and blobs["mode"] == "disk"
+                assert blobs["originals"] == 1 and blobs["restored"] == 0
+                text = await (await client.get("/metrics")).text()
+                assert "irp_blobs_originals 1" in text
+                assert "irp_blobs_restored 0" in text
+
+        try:
+            asyncio.run(check())
+        finally:
+            ctx.shutdown()
