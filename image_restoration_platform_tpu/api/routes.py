@@ -197,10 +197,11 @@ async def submit_job(request: web.Request) -> web.Response:
     token = form.get("uploadToken")
     if token:
         try:
-            meta = ctx.blobs.get_meta(str(token))
-            # originals are user-scoped (originals/<uid>/..., gcsClient.js:46)
-            if meta is not None and meta.get("userId") in (None, user["id"]):
-                blob = ctx.blobs.get(str(token))
+            meta = await asyncio.to_thread(ctx.blobs.get_meta, str(token))
+            # originals are user-scoped (originals/<uid>/..., gcsClient.js:46);
+            # FAIL CLOSED: absent/corrupt sidecar ownership rejects the token
+            if meta is not None and meta.get("userId") == user["id"]:
+                blob = await asyncio.to_thread(ctx.blobs.get, str(token))
                 if blob is not None:
                     raw_images.append((f"{token}.jpg", blob))
         except ValueError:
@@ -312,11 +313,16 @@ async def get_job_image(request: web.Request) -> web.Response:
         if job.state is JobState.SUCCEEDED and job.result:
             data = b64.b64decode(job.result["restoredImage"])
             return _attachment(data, job_id)
-    meta = ctx.blobs.get_result_meta(job_id)
+    try:
+        meta = await asyncio.to_thread(ctx.blobs.get_result_meta, job_id)
+    except ValueError:  # malformed id: same 404 as an unknown job
+        meta = None
     if meta is not None:
-        if meta.get("userId") not in (None, request["user"]["id"]):
+        # FAIL CLOSED: a result blob with absent/corrupt ownership metadata
+        # (crash-truncated sidecar) must not become world-readable
+        if meta.get("userId") != request["user"]["id"]:
             raise forbidden("This job belongs to another user.")
-        data = ctx.blobs.get_result(job_id)
+        data = await asyncio.to_thread(ctx.blobs.get_result, job_id)
         if data is not None:
             return _attachment(data, job_id)
     raise not_found("Job has no restored image yet." if job else "Job not found.")
@@ -381,9 +387,12 @@ async def credits_balance(request: web.Request) -> web.Response:
 
 async def signed_url(request: web.Request) -> web.Response:
     """Direct-upload analog of GCS V4 signed URLs (gcsClient.js:44-67):
-    returns a 15-minute single-use upload slot."""
+    returns a 15-minute upload slot. The slot is recorded in the KV store
+    with the signed-URL TTL, and PUT enforces it — in GCS the signature
+    itself expires; here the marker does."""
     ctx: AppContext = request.app["ctx"]
     token = uuid.uuid4().hex
+    ctx.store.set(f"upload_slot:{token}", request["user"]["id"], ctx.blobs.ttl_seconds)
     return web.json_response(
         {
             "uploadUrl": f"/v1/uploads/{token}",
@@ -404,6 +413,17 @@ async def put_upload(request: web.Request) -> web.Response:
     import tempfile
 
     ctx: AppContext = request.app["ctx"]
+    token = request.match_info["token"]
+    # slot must have been issued by GET /v1/uploads/signed-url within its TTL
+    # (the signed-URL-expiry analog); expired/unknown tokens are rejected
+    # before the body is consumed
+    slot_owner = ctx.store.get(f"upload_slot:{token}")
+    if slot_owner is None:
+        raise not_found("Unknown or expired upload slot.")
+    if isinstance(slot_owner, bytes):
+        slot_owner = slot_owner.decode()
+    if slot_owner != request["user"]["id"]:
+        raise forbidden("This upload slot belongs to another user.")
     max_bytes = ctx.config.upload.max_file_size_bytes
     spool = tempfile.SpooledTemporaryFile(max_size=1 << 20)
     size = 0
@@ -419,7 +439,6 @@ async def put_upload(request: web.Request) -> web.Response:
         head = spool.read(4096)
         if imageio.sniff_format(head) is None:
             raise unsupported_media_type()
-        token = request.match_info["token"]
         try:
             await asyncio.to_thread(
                 ctx.blobs.put, token, spool, user_id=request["user"]["id"]

@@ -109,6 +109,7 @@ class DiskBlobStore:
         authorization (GCS stores userId in object metadata, gcsClient.js:58)."""
         path = self._path(prefix, token)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        meta_tmp = tmp + ".m"
         try:
             with os.fdopen(fd, "wb") as out:
                 if isinstance(data, (bytes, bytearray, memoryview)):
@@ -121,17 +122,22 @@ class DiskBlobStore:
                 "contentType": content_type,
                 "createdAt": self._clock(),
             }
-            with open(path + ".meta", "w") as f:
+            # both files land atomically (tmp + rename), data first: a crash
+            # between the renames leaves new data with the previous sidecar,
+            # and ownership checks FAIL CLOSED on mismatch/absence
+            with open(meta_tmp, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp, path)
+            os.replace(meta_tmp, path + ".meta")
             # age is judged by mtime; stamp it from the store clock so tests
             # with an injected clock control retention deterministically
             os.utime(path, (meta["createdAt"], meta["createdAt"]))
         except BaseException:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            for victim in (tmp, meta_tmp):
+                try:
+                    os.unlink(victim)
+                except OSError:
+                    pass
             raise
         self._maybe_sweep()
 
@@ -182,10 +188,19 @@ class DiskBlobStore:
                 names = os.listdir(directory)
             except OSError:
                 continue
+            data_names = {n for n in names if not n.endswith((".meta", ".tmp", ".tmp.m"))}
             for name in names:
-                if name.endswith(".meta") or name.endswith(".tmp"):
-                    continue
                 path = os.path.join(directory, name)
+                if name.endswith(".meta"):
+                    # orphan sidecars (crash between unlinks / failed put)
+                    if name[: -len(".meta")] not in data_names:
+                        try:
+                            os.unlink(path)
+                        except OSError:
+                            pass
+                    continue
+                if name.endswith((".tmp", ".tmp.m")):
+                    continue
                 if self._expired(path, prefix, now):
                     for victim in (path, path + ".meta"):
                         try:
@@ -202,7 +217,11 @@ class DiskBlobStore:
         for prefix in self.retention_seconds:
             directory = os.path.join(self.root, prefix)
             try:
-                names = [n for n in os.listdir(directory) if not n.endswith((".meta", ".tmp"))]
+                names = [
+                    n
+                    for n in os.listdir(directory)
+                    if not n.endswith((".meta", ".tmp", ".tmp.m"))
+                ]
             except OSError:
                 names = []
             out[prefix] = len(names)
@@ -214,6 +233,8 @@ class MemoryBlobStore:
     retention-TTL'd results. Used when ``BLOB_STORE_PATH`` is unset — the
     same degrade-to-local-fake policy as every other client tier."""
 
+    MAX_RESULTS = 256  # memory mode cannot honor 90-day retention unbounded
+
     def __init__(self, store, ttl_seconds: int | None = None):
         self.store = store
         self.ttl_seconds = (
@@ -221,18 +242,28 @@ class MemoryBlobStore:
             if ttl_seconds is None
             else ttl_seconds
         )
-        self._result_ttl = int(
-            float(os.environ.get("GCS_RESTORED_RETENTION_DAYS", 90)) * 24 * 3600
-        )
+        # memory fallback bounds the result tier two ways: a short TTL (1 day,
+        # not the disk tier's 90) and an eviction ring of MAX_RESULTS job ids —
+        # the KV store only expires lazily on read, so without the ring every
+        # restored image ever produced would accumulate until OOM
+        self._result_ttl = 24 * 3600
+        self._result_ring: list[str] = []
 
     def put(self, token: str, data, *, prefix: str = ORIGINALS, user_id=None, content_type=None) -> None:
         if not isinstance(data, (bytes, bytearray, memoryview)):
             data.seek(0)
             data = data.read()
         ttl = self._result_ttl if prefix == RESULTS else self.ttl_seconds
-        self.store.set(f"blob:{prefix}:{_safe_token(token)}", bytes(data), ttl)
+        token = _safe_token(token)
+        self.store.set(f"blob:{prefix}:{token}", bytes(data), ttl)
         if user_id is not None:
             self.store.set(f"blobmeta:{prefix}:{token}", json.dumps({"userId": user_id}), ttl)
+        if prefix == RESULTS:
+            self._result_ring.append(token)
+            while len(self._result_ring) > self.MAX_RESULTS:
+                victim = self._result_ring.pop(0)
+                self.store.delete(f"blob:{prefix}:{victim}")
+                self.store.delete(f"blobmeta:{prefix}:{victim}")
 
     def get(self, token: str, *, prefix: str = ORIGINALS) -> bytes | None:
         return self.store.get(f"blob:{prefix}:{_safe_token(token)}")

@@ -359,8 +359,8 @@ def _grain_texture(key, n, size, channels):
         return jnp.transpose(smooth - wide, (0, 2, 3, 1))  # [n,s,s,1]
 
     fine = correlated(ks[1], size)
-    coarse = correlated(ks[2], size // 2)
-    coarse = jnp.repeat(jnp.repeat(coarse, 2, axis=1), 2, axis=2)
+    coarse = correlated(ks[2], (size + 1) // 2)
+    coarse = jnp.repeat(jnp.repeat(coarse, 2, axis=1), 2, axis=2)[:, :size, :size]
     octave_w = jax.random.uniform(ks[3], (n, 1, 1, 1), minval=0.2, maxval=0.8)
     g = fine * (1.0 - octave_w) + coarse * octave_w
     g = g / (jnp.std(g, axis=(1, 2, 3), keepdims=True) + 1e-6)
@@ -643,7 +643,10 @@ def _degrade(key, clean, cfg: DataConfig, protect=None):
         hard = jax.random.bernoulli(kd1, 0.4, (n, 7)).astype(jnp.float32)
         tail = jax.random.uniform(kd2, (n, 7), minval=0.7, maxval=1.0)
         emph = jnp.asarray([1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0])[None, :]
-        take = hard * emph * (strength > 0.0)
+        # exclude the near-clean band (scale 0.06): its dense identity-regime
+        # coverage is what keeps the serving no-harm gate green — resampling
+        # those rows to [0.7, 1.0] would destroy it
+        take = hard * emph * (strength > 0.0) * (1.0 - near_clean)
         strength = strength * (1.0 - take) + tail * take
     if protect is not None:
         # 1 = well-posed on graded targets (blur/noise/compression/scratch),

@@ -207,3 +207,107 @@ class TestHealthSurfaces:
             asyncio.run(check())
         finally:
             ctx.shutdown()
+
+
+class TestReviewHardening:
+    """Round-4 code-review fixes: slot TTL enforcement, fail-closed
+    ownership, atomic sidecars + orphan sweep, memory-mode result cap."""
+
+    def test_put_upload_requires_live_slot(self, tmp_path, monkeypatch):
+        import asyncio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from image_restoration_platform_tpu.api import AppContext, create_app
+        from image_restoration_platform_tpu.config import Config, ServingConfig
+
+        monkeypatch.setenv("BLOB_STORE_PATH", str(tmp_path / "blobs"))
+        cfg = Config()
+        cfg.serving = ServingConfig(size_buckets=(64,), max_batch=4, max_wait_ms=2.0)
+        ctx = AppContext(config=cfg, use_batcher=False, queue_workers=1)
+        auth = {"Authorization": "Bearer dev-user-alice"}
+        body = fixtures.create_clean_image((32, 32))
+
+        async def check():
+            app = create_app(ctx=ctx, config=ctx.config)
+            app.on_shutdown.clear()
+            async with TestClient(TestServer(app)) as client:
+                # unknown token: rejected before the body is stored
+                resp = await client.put("/v1/uploads/deadbeef", data=body, headers=auth)
+                assert resp.status == 404
+                # issued slot works for the owner...
+                slot = await (await client.get("/v1/uploads/signed-url", headers=auth)).json()
+                resp = await client.put(slot["uploadUrl"], data=body, headers=auth)
+                assert resp.status == 200
+                # ...but another user cannot PUT into it
+                resp = await client.put(
+                    slot["uploadUrl"], data=body,
+                    headers={"Authorization": "Bearer dev-user-mallory"},
+                )
+                assert resp.status == 403
+
+        try:
+            asyncio.run(check())
+        finally:
+            ctx.shutdown()
+
+    def test_result_download_fails_closed_without_meta(self, tmp_path, monkeypatch):
+        import asyncio
+        import os
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from image_restoration_platform_tpu.api import AppContext, create_app
+        from image_restoration_platform_tpu.config import Config, ServingConfig
+
+        monkeypatch.setenv("BLOB_STORE_PATH", str(tmp_path / "blobs"))
+        cfg = Config()
+        cfg.serving = ServingConfig(size_buckets=(64,), max_batch=4, max_wait_ms=2.0)
+        ctx = AppContext(config=cfg, use_batcher=False, queue_workers=1)
+        ctx.blobs.put_result("orphanjob", b"\xff\xd8\xffjpegdata", user_id="alice")
+        # simulate a crash-truncated sidecar
+        os.unlink(os.path.join(str(tmp_path / "blobs"), RESULTS, "orphanjob.meta"))
+
+        async def check():
+            app = create_app(ctx=ctx, config=ctx.config)
+            app.on_shutdown.clear()
+            async with TestClient(TestServer(app)) as client:
+                for user in ("alice", "mallory"):
+                    resp = await client.get(
+                        "/v1/jobs/orphanjob/image",
+                        headers={"Authorization": f"Bearer dev-user-{user}"},
+                    )
+                    assert resp.status == 403, f"{user}: {resp.status}"
+                # malformed job id: clean 404, not a 500
+                resp = await client.get(
+                    "/v1/jobs/..%2Fevil/image",
+                    headers={"Authorization": "Bearer dev-user-alice"},
+                )
+                assert resp.status == 404
+
+        try:
+            asyncio.run(check())
+        finally:
+            ctx.shutdown()
+
+    def test_sweep_removes_orphan_sidecars(self, tmp_path):
+        import os
+
+        store = DiskBlobStore(str(tmp_path))
+        store.put("keep", b"data", user_id="alice")
+        orphan = os.path.join(str(tmp_path), ORIGINALS, "gone.meta")
+        with open(orphan, "w") as f:
+            f.write("{}")
+        store.sweep()
+        assert not os.path.exists(orphan)
+        assert store.get("keep") == b"data"
+
+    def test_memory_result_ring_caps_retention(self):
+        store = MemoryBlobStore(MemoryStore())
+        store.MAX_RESULTS = 4
+        for i in range(10):
+            store.put_result(f"job{i}", b"x" * 10, user_id="alice")
+        assert store.get_result("job0") is None  # evicted
+        assert store.get_result("job9") == b"x" * 10
+        live = sum(store.get_result(f"job{i}") is not None for i in range(10))
+        assert live == 4

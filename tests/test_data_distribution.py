@@ -154,3 +154,12 @@ def test_grain_mix_share():
     changed = np.mean(np.any(np.asarray(img_off != img_on), axis=(1, 2, 3)))
     assert 0.05 < changed < 0.30, f"grain share {changed:.2f} out of range"
     np.testing.assert_array_equal(np.asarray(aug_off), np.asarray(aug_on))
+
+
+def test_grain_texture_odd_size():
+    """Odd patch sizes must not shape-crash the coarse octave upsample."""
+    from image_restoration_platform_tpu.train.data import _grain_texture
+
+    g = _grain_texture(jax.random.PRNGKey(2), 4, 33, 3)
+    assert g.shape == (4, 33, 33, 3)
+    assert bool(jnp.isfinite(g).all())
