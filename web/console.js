@@ -18,6 +18,25 @@ function showResult(result) {
   if (result?.timings) log(`timings: ${JSON.stringify(result.timings)}`);
 }
 
+async function uploadViaSlot(file) {
+  // direct-upload flow (signed-URL analog): GET a 15-min slot, PUT the bytes,
+  // submit by token — the large-file path that keeps multipart bodies small
+  const r = await fetch(`${$("base").value}/v1/uploads/signed-url`, { headers: headers() });
+  const slot = await r.json();
+  if (!r.ok) throw new Error(slot.detail || slot.title || r.status);
+  const put = await fetch(`${$("base").value}${slot.uploadUrl}`, {
+    method: "PUT", headers: headers(), body: file,
+  });
+  if (!put.ok) {
+    const e = await put.json().catch(() => ({}));
+    throw new Error(`upload ${put.status}: ${e.detail || e.title || ""}`);
+  }
+  log(`uploaded ${file.name} (${file.size} B) → slot ${slot.token.slice(0, 8)}…`);
+  return slot.token;
+}
+
+const SLOT_THRESHOLD_BYTES = 2 * 1024 * 1024;
+
 async function submitJob(sync = false) {
   const file = $("file").files[0];
   if (!file) { log("pick a file first"); return; }
@@ -25,7 +44,13 @@ async function submitJob(sync = false) {
   $("after").removeAttribute("src");
 
   const form = new FormData();
-  form.append("image", file, file.name);
+  if (file.size > SLOT_THRESHOLD_BYTES) {
+    try {
+      form.append("uploadToken", await uploadViaSlot(file));
+    } catch (e) { log(`slot upload failed: ${e.message}`); return; }
+  } else {
+    form.append("image", file, file.name);
+  }
   if ($("prompt").value) form.append("prompt", $("prompt").value);
 
   const url = `${$("base").value}/v1/jobs${sync ? "?sync=1" : ""}`;
