@@ -129,13 +129,15 @@ class ServingConfig:
     # anti-starvation bound: when any queue's oldest request has waited longer
     # than this, the oldest-head queue is dispatched next regardless of depth
     fairness_age_ms: float = field(default_factory=lambda: _env_float("SERVE_FAIRNESS_AGE_MS", 50.0))
-    # opt-in: serve the UNet families in the W-folded layout (models/folded.py).
+    # serve the UNet families in the W-folded layout (models/folded.py).
     # Width-pairs fold into lanes so small-channel convs fill the MXU — an
     # exact weight reparameterization that halves per-conv time (17% -> 68%
-    # MFU on the full-res level), but whole-program it currently loses ~20%
-    # to fold/unfold relayouts and scheduling (25.8 vs 21.5 ms/step at 512px
-    # b8), so the default stays off; see models/folded.py for measurements
-    fold_w: bool = field(default_factory=lambda: _env_int("SERVE_FOLD_W", 0) == 1)
+    # MFU on the full-res level). With the round-3 fold-preserving decoder
+    # upsample the layout survives the whole decoder and the fold wins
+    # whole-program on chip: 18.65 vs 22.28 ms/step at 512px b8 (2.33 vs
+    # 2.79 ms/img, 1.19x; scripts/measure_unet_fold.py, v5e 2026-08-18),
+    # so it now defaults ON; see models/folded.py for per-conv measurements
+    fold_w: bool = field(default_factory=lambda: _env_int("SERVE_FOLD_W", 1) == 1)
     # W-fold for the SR families: SRNet is the ideal fold case (pure stride-1
     # conv chain, no stats/attention boundaries), so its fold is a clean
     # ~1.9x on device time and defaults on
