@@ -170,10 +170,29 @@ def main() -> None:
             detail["device_ms_per_image_b8"] = round(step_s / cfg.max_batch * 1000.0, 3)
             try:
                 flops = exe.cost_analysis()["flops"]
+                if not on_cpu and engine.config.fold_w:
+                    # MFU must be MODEL-flops utilization. The W-folded
+                    # program's phase-decomposed decoder makes XLA's flop
+                    # count of the *executed* HLO ~2x the algorithmic flops
+                    # (each 2x2 output phase is counted as a full conv), which
+                    # would overstate MFU — so count flops on the canonical
+                    # unfolded program instead (a disk-cache-hit load once the
+                    # fold A/B has run on this machine; at worst one compile).
+                    cfg_u = ServingConfig(size_buckets=(512,), max_batch=cfg.max_batch, fold_w=False)
+                    eng_u = RestorationEngine(serving_config=cfg_u)
+                    eng_u.restore_batch(canvas, valid, jpeg_f, "restore-unet")
+                    key_u = next(
+                        k
+                        for k in eng_u._compiled
+                        if isinstance(k, tuple)
+                        and k[0] == "restore-unet"
+                        and any(s == (tuple(canvas.shape), "uint8") for s in k[1:])
+                    )
+                    flops = eng_u._compiled[key_u].cost_analysis()["flops"]
                 if not on_cpu:
                     detail["mfu"] = round(flops / step_s / 197e12, 4)  # v5e bf16 peak
-            except Exception:
-                pass
+            except Exception as error:
+                log(f"mfu accounting failed: {error!r}")
             log(
                 f"device-only 512px: {detail['device_ms_per_image_b8']:.3f} ms/img"
                 + (f" | MFU {detail['mfu']*100:.1f}%" if detail.get("mfu") else "")
