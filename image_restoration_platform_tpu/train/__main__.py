@@ -87,6 +87,7 @@ def main() -> None:
         data_mix_rich=float(os.environ.get("TRAIN_DATA_MIX_RICH", 0.0)),
         data_deconv=os.environ.get("TRAIN_DATA_DECONV", "0") == "1",
         data_grain=os.environ.get("TRAIN_DATA_GRAIN", "0") == "1",
+        data_smooth=os.environ.get("TRAIN_DATA_SMOOTH", "0") == "1",
     )
     ckpt_dir = os.environ.get("TRAIN_CKPT_DIR")
     trainer = Trainer(

@@ -66,6 +66,16 @@ class DataConfig:
     # photo clean mix so "conditioning says noise, target says preserve"
     # covers the aperiodic case too.
     grain: bool = False
+    # smooth-gradient cleans (round-4): the SR families hallucinated texture
+    # into texture-FREE content (smooth sky/bokeh-like surfaces: 24 dB vs
+    # nearest-neighbor's 44 dB, 5x the true Laplacian energy) because no
+    # clean family was ever purely smooth — flat scenes carry hard edges,
+    # everything else carries detail, so "sharpen everything" was never
+    # penalised. smooth=True carves a ~10% share of bilinearly-upsampled
+    # random control grids + linear color ramps (no energy above ~4
+    # cycles/image; construction-disjoint from the cosine-grating smooth
+    # eval in tests/test_quality.py) out of the rich slice.
+    smooth: bool = False
 
 
 def _random_clean(key, n, size, channels):
@@ -379,7 +389,31 @@ def _grain_texture(key, n, size, channels):
     return jnp.clip(img, 0.0, 1.0)
 
 
-def _clean_photo_mix(key, n, size, channels, grain=False):
+def _smooth_scene(key, n, size, channels):
+    """Sky/bokeh-like smooth surfaces: random low-resolution control grids
+    (4x4 and 8x8, bilinearly upsampled — piecewise-linear, nothing above ~4
+    cycles/image) blended with a linear two-color ramp at a random angle.
+    Construction-disjoint from the smooth EVAL generator (cosine gratings +
+    radial gradient, tests/test_quality.py::_smooth_batch)."""
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    g4 = jax.random.uniform(k1, (n, 4, 4, channels))
+    g8 = jax.random.uniform(k2, (n, 8, 8, channels))
+    up4 = jax.image.resize(g4, (n, size, size, channels), "linear")
+    up8 = jax.image.resize(g8, (n, size, size, channels), "linear")
+    w = jax.random.uniform(k3, (n, 1, 1, 1))
+    grid = up4 * w + up8 * (1.0 - w)
+    c0 = jax.random.uniform(k4, (n, 1, 1, channels))
+    c1 = jax.random.uniform(k5, (n, 1, 1, channels))
+    theta = jax.random.uniform(k6, (n, 1, 1, 1), maxval=2.0 * jnp.pi)
+    yy, xx = jnp.mgrid[0:size, 0:size]
+    coord = (xx[None, :, :, None] * jnp.cos(theta) + yy[None, :, :, None] * jnp.sin(theta)) / size
+    t = jnp.clip((coord + 1.0) * 0.5, 0.0, 1.0)
+    ramp = c0 + (c1 - c0) * t
+    mix = jax.random.uniform(k7, (n, 1, 1, 1), minval=0.35, maxval=0.85)
+    return jnp.clip(grid * mix + ramp * (1.0 - mix), 0.0, 1.0)
+
+
+def _clean_photo_mix(key, n, size, channels, grain=False, smooth=False):
     """Round-3 clean distribution: rich natural-statistics images plus the
     flat/saturated geometric families the round-2 model had never seen,
     finished with creative-grade augmentation (low-key exposure, matte
@@ -420,6 +454,11 @@ def _clean_photo_mix(key, n, size, channels, grain=False):
         # from the rich slice (u in [0.47, 0.62)); see DataConfig.grain
         gtex = _grain_texture(jax.random.fold_in(key, 33), n, size, channels)
         img = jnp.where((u >= 0.47) & (u < 0.62), gtex, img)
+    if smooth:
+        # round-4: texture-free smooth surfaces take a 10% share carved from
+        # the rich slice (u in [0.62, 0.72)); see DataConfig.smooth
+        sm = _smooth_scene(jax.random.fold_in(key, 44), n, size, channels)
+        img = jnp.where((u >= 0.62) & (u < 0.72), sm, img)
 
     ka, kb, kc, kd, ke, kf = jax.random.split(k4, 6)
     # low-key exposure: crush shadows/mids, keep true highlights (y(1)=1).
@@ -769,7 +808,9 @@ def synthetic_batch(key: jax.Array, n: int, cfg: DataConfig = DataConfig()):
 
     k_clean, k_deg, k_jpeg = jax.random.split(key, 3)
     if cfg.photo:
-        clean, aug = _clean_photo_mix(k_clean, n, cfg.size, cfg.channels, grain=cfg.grain)
+        clean, aug = _clean_photo_mix(
+            k_clean, n, cfg.size, cfg.channels, grain=cfg.grain, smooth=cfg.smooth
+        )
     else:
         gen = _random_clean_rich if cfg.rich else _random_clean
         clean = gen(k_clean, n, cfg.size, cfg.channels)

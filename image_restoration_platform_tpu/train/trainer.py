@@ -68,6 +68,9 @@ class TrainConfig:
     # round-4 aperiodic micro-texture cleans (DataConfig.grain): real-photo
     # clean-harm fix — stochastic texture the model must PRESERVE
     data_grain: bool = False
+    # round-4 smooth-gradient cleans (DataConfig.smooth): SR anti-
+    # hallucination fix — texture-FREE surfaces the model must keep smooth
+    data_smooth: bool = False
 
 
 def charbonnier(pred, target, eps):
@@ -260,6 +263,7 @@ class Trainer:
             photo=cfg.data_photo,
             deconv=cfg.data_deconv,
             grain=cfg.data_grain,
+            smooth=cfg.data_smooth,
         )
         self._data_cfg_rich = DataConfig(size=cfg.image_size, photo=False)
         self._mix_acc = 0.0
