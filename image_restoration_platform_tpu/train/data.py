@@ -525,12 +525,22 @@ _PSF_BANK_RICH = jnp.asarray(
 
 def _psf_blur(x, idx, strength, bank=None):
     """Per-image PSF blur from the bank, mixed by strength (a partial mix
-    models the haze of slight defocus)."""
+    models the haze of slight defocus).
+
+    Edge-replicate padding, NOT zero-pad SAME: zero padding darkens a
+    kernel-radius rim, and a round-4 ablation showed the deconv-trained
+    model's entire measured "deblur gain" (+4.5 dB full-frame) was rim
+    repair — interior-only gain was +0.04 dB. A real out-of-frame scene
+    continues (gaussian_blur in ops/stencil.py already replicates); with the
+    rim shortcut removed the objective can only be satisfied by actual
+    interior deconvolution."""
     kernels = (_PSF_BANK if bank is None else bank)[idx]  # [n, kh, kw]
+    r = int((_PSF_BANK if bank is None else bank).shape[-1]) // 2
 
     def one(im, ker):
-        im_c = jnp.transpose(im, (2, 0, 1))[:, None]  # [C,1,H,W]
-        out = jax.lax.conv_general_dilated(im_c, ker[None, None], (1, 1), "SAME")
+        im_p = jnp.pad(im, ((r, r), (r, r), (0, 0)), mode="edge")
+        im_c = jnp.transpose(im_p, (2, 0, 1))[:, None]  # [C,1,H+2r,W+2r]
+        out = jax.lax.conv_general_dilated(im_c, ker[None, None], (1, 1), "VALID")
         return jnp.transpose(out[:, 0], (1, 2, 0))
 
     blurred = jax.vmap(one)(x, kernels)
