@@ -76,6 +76,13 @@ class DataConfig:
     # cycles/image; construction-disjoint from the cosine-grating smooth
     # eval in tests/test_quality.py) out of the rich slice.
     smooth: bool = False
+    # share of the clean mix the smooth family takes when smooth=True. The
+    # default 10% moved sr-x2 from 24 -> 38 dB on smooth eval content but
+    # left it short of nearest-parity (44 dB); smooth-heavy top-up phases
+    # raise this. Capped at 0.28 — the interval [0.62, 0.62+share) is carved
+    # out of the rich slice, and the rich family must keep >= a 10% share
+    # (u in [0.90, 1.0)) or the in-distribution gain gates starve.
+    smooth_share: float = 0.10
 
 
 def _random_clean(key, n, size, channels):
@@ -413,7 +420,7 @@ def _smooth_scene(key, n, size, channels):
     return jnp.clip(grid * mix + ramp * (1.0 - mix), 0.0, 1.0)
 
 
-def _clean_photo_mix(key, n, size, channels, grain=False, smooth=False):
+def _clean_photo_mix(key, n, size, channels, grain=False, smooth=False, smooth_share=0.10):
     """Round-3 clean distribution: rich natural-statistics images plus the
     flat/saturated geometric families the round-2 model had never seen,
     finished with creative-grade augmentation (low-key exposure, matte
@@ -455,10 +462,12 @@ def _clean_photo_mix(key, n, size, channels, grain=False, smooth=False):
         gtex = _grain_texture(jax.random.fold_in(key, 33), n, size, channels)
         img = jnp.where((u >= 0.47) & (u < 0.62), gtex, img)
     if smooth:
-        # round-4: texture-free smooth surfaces take a 10% share carved from
-        # the rich slice (u in [0.62, 0.72)); see DataConfig.smooth
+        # round-4: texture-free smooth surfaces take a configurable share
+        # (default 10%) carved from the rich slice, u in [0.62, 0.62+share);
+        # see DataConfig.smooth / smooth_share
+        share = min(max(float(smooth_share), 0.0), 0.28)
         sm = _smooth_scene(jax.random.fold_in(key, 44), n, size, channels)
-        img = jnp.where((u >= 0.62) & (u < 0.72), sm, img)
+        img = jnp.where((u >= 0.62) & (u < 0.62 + share), sm, img)
 
     ka, kb, kc, kd, ke, kf = jax.random.split(k4, 6)
     # low-key exposure: crush shadows/mids, keep true highlights (y(1)=1).
@@ -819,7 +828,8 @@ def synthetic_batch(key: jax.Array, n: int, cfg: DataConfig = DataConfig()):
     k_clean, k_deg, k_jpeg = jax.random.split(key, 3)
     if cfg.photo:
         clean, aug = _clean_photo_mix(
-            k_clean, n, cfg.size, cfg.channels, grain=cfg.grain, smooth=cfg.smooth
+            k_clean, n, cfg.size, cfg.channels, grain=cfg.grain, smooth=cfg.smooth,
+            smooth_share=cfg.smooth_share,
         )
     else:
         gen = _random_clean_rich if cfg.rich else _random_clean

@@ -71,6 +71,8 @@ class TrainConfig:
     # round-4 smooth-gradient cleans (DataConfig.smooth): SR anti-
     # hallucination fix — texture-FREE surfaces the model must keep smooth
     data_smooth: bool = False
+    # share of the clean mix the smooth family takes (DataConfig.smooth_share)
+    data_smooth_share: float = 0.10
 
 
 def charbonnier(pred, target, eps):
@@ -264,6 +266,7 @@ class Trainer:
             deconv=cfg.data_deconv,
             grain=cfg.data_grain,
             smooth=cfg.data_smooth,
+            smooth_share=cfg.data_smooth_share,
         )
         self._data_cfg_rich = DataConfig(size=cfg.image_size, photo=False)
         self._mix_acc = 0.0
