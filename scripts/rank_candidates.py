@@ -31,6 +31,17 @@ import tempfile
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _eval_indist(weights_dir: str, n: int) -> dict:
+    env = dict(os.environ, JAX_PLATFORMS="cpu", IRP_WEIGHTS_DIR=weights_dir)
+    out = subprocess.run(
+        [sys.executable, "scripts/eval_flagship_quick.py", "--n", str(n)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"eval_flagship_quick rc={out.returncode}\n{out.stderr[-1500:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def _eval(weights_dir: str, corpus: str, n: int, family: str) -> dict:
     env = dict(os.environ, JAX_PLATFORMS="cpu", IRP_WEIGHTS_DIR=weights_dir)
     out = subprocess.run(
@@ -43,9 +54,16 @@ def _eval(weights_dir: str, corpus: str, n: int, family: str) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])["ood"]
 
 
-def _score(ood: dict, real: dict) -> tuple[float, dict]:
+def _score(ood: dict, real: dict, indist: dict | None = None) -> tuple[float, dict]:
     gains, harm = 0.0, 0.0
     detail = {}
+    if indist:
+        # in-distribution held-out gains count toward the composite with the
+        # same weight as one OOD class each — the validator HOLDs on any
+        # regression here, so the ranker must see it
+        for k, v in indist.items():
+            gains += v
+            detail[f"indist/{k}"] = round(v, 2)
     for label, rows in (("ood", ood), ("real", real)):
         for cls, row in rows.items():
             if cls == "clean_no_harm":
@@ -87,10 +105,13 @@ def main() -> None:
             try:
                 ood = _eval(tmp, "ood", args.n, args.family)
                 real = _eval(tmp, "real", args.n, args.family)
+                indist = (
+                    _eval_indist(tmp, args.n) if args.family == "restore-unet" else None
+                )
             except RuntimeError as error:
                 print(f"{cand}: EVAL FAILED {error}", file=sys.stderr, flush=True)
                 continue
-            score, detail = _score(ood, real)
+            score, detail = _score(ood, real, indist)
             results.append({"candidate": cand, "score": round(score, 3), "detail": detail})
             print(f"{cand}: score={score:.3f} {detail}", file=sys.stderr, flush=True)
 
