@@ -163,3 +163,23 @@ def test_grain_texture_odd_size():
     g = _grain_texture(jax.random.PRNGKey(2), 4, 33, 3)
     assert g.shape == (4, 33, 33, 3)
     assert bool(jnp.isfinite(g).all())
+
+
+def test_smooth_share_scales():
+    """smooth_share widens the smooth band [0.62, 0.62+share) monotonically
+    and is capped at 0.28 so the rich family keeps >= a 10% share."""
+    from image_restoration_platform_tpu.train.data import _clean_photo_mix
+
+    key = jax.random.PRNGKey(23)
+    img_off, _ = _clean_photo_mix(key, 128, 32, 3, smooth=False)
+
+    def frac_changed(share):
+        img_on, _ = _clean_photo_mix(key, 128, 32, 3, smooth=True, smooth_share=share)
+        return np.mean(np.any(np.asarray(img_off != img_on), axis=(1, 2, 3)))
+
+    f10, f25 = frac_changed(0.10), frac_changed(0.25)
+    assert 0.04 < f10 < 0.18, f"default smooth share {f10:.2f} out of range"
+    assert 0.17 < f25 < 0.35, f"raised smooth share {f25:.2f} out of range"
+    assert f25 > f10
+    # cap: asking past 0.28 changes nothing beyond the capped band
+    assert abs(frac_changed(0.50) - frac_changed(0.28)) < 1e-9
