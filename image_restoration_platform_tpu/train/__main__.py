@@ -86,6 +86,7 @@ def main() -> None:
         data_photo=os.environ.get("TRAIN_DATA_PHOTO", "1") == "1",
         data_mix_rich=float(os.environ.get("TRAIN_DATA_MIX_RICH", 0.0)),
         data_deconv=os.environ.get("TRAIN_DATA_DECONV", "0") == "1",
+        data_mix_mild=float(os.environ.get("TRAIN_DATA_MIX_MILD", 0.0)),
         data_grain=os.environ.get("TRAIN_DATA_GRAIN", "0") == "1",
         data_smooth=os.environ.get("TRAIN_DATA_SMOOTH", "0") == "1",
         data_smooth_share=float(os.environ.get("TRAIN_DATA_SMOOTH_SHARE", 0.10)),

@@ -65,6 +65,14 @@ class TrainConfig:
     # round-4 deconvolution emphasis (DataConfig.deconv): strong-tail PSF
     # and DCT damage so the model learns real deblur/dejpeg inversion
     data_deconv: bool = False
+    # fraction of batches drawn with deconv=False (the mild photo
+    # distribution) when data_deconv is on. Deconv-only training regressed
+    # the mild-photo held-out ~1.5 dB across every round-4 candidate (the
+    # strong-tail strengths and full-convolution PSF thin out mild-damage
+    # coverage for the same conditioning scores); interleaving keeps both
+    # regimes represented, exactly like data_mix_rich does for the rich
+    # distribution
+    data_mix_mild: float = 0.0
     # round-4 aperiodic micro-texture cleans (DataConfig.grain): real-photo
     # clean-harm fix — stochastic texture the model must PRESERVE
     data_grain: bool = False
@@ -269,7 +277,16 @@ class Trainer:
             smooth_share=cfg.data_smooth_share,
         )
         self._data_cfg_rich = DataConfig(size=cfg.image_size, photo=False)
+        self._data_cfg_mild = DataConfig(
+            size=cfg.image_size,
+            photo=cfg.data_photo,
+            deconv=False,
+            grain=cfg.data_grain,
+            smooth=cfg.data_smooth,
+            smooth_share=cfg.data_smooth_share,
+        )
         self._mix_acc = 0.0
+        self._mix_acc_mild = 0.0
 
     def place_batch(self, batch):
         if self.mesh is None:
@@ -300,6 +317,19 @@ class Trainer:
                 if self._mix_acc >= 1.0:
                     self._mix_acc -= 1.0
                     cfg_step = self._data_cfg_rich
+            if (
+                self.cfg.data_photo
+                and self.cfg.data_deconv
+                and self.cfg.data_mix_mild > 0.0
+            ):
+                # same error-diffusion interleave for the mild (deconv=False)
+                # photo distribution, as a fraction of ALL batches: the
+                # accumulator advances every step; on a collision rich wins
+                # and the mild credit carries to the next step
+                self._mix_acc_mild += self.cfg.data_mix_mild
+                if self._mix_acc_mild >= 1.0 and cfg_step is self._data_cfg:
+                    self._mix_acc_mild -= 1.0
+                    cfg_step = self._data_cfg_mild
             batch = synthetic_batch(bk, self.cfg.batch_size, cfg_step)
             batch = self.place_batch(batch)
             self.state, loss = self.step_fn(self.state, *batch)

@@ -183,3 +183,40 @@ def test_smooth_share_scales():
     assert f25 > f10
     # cap: asking past 0.28 changes nothing beyond the capped band
     assert abs(frac_changed(0.50) - frac_changed(0.28)) < 1e-9
+
+
+def test_mix_mild_interleave_fractions():
+    """TRAIN_DATA_MIX_MILD draws the requested fraction of batches from the
+    mild (deconv=False) photo distribution, rich interleave takes precedence
+    on collisions, and the remainder stays on the deconv config."""
+    from image_restoration_platform_tpu.train import trainer as trainer_mod
+    from image_restoration_platform_tpu.train.trainer import Trainer, TrainConfig
+
+    cfg = TrainConfig(
+        family="restore-unet-small", batch_size=1, image_size=32,
+        data_photo=True, data_deconv=True, data_mix_rich=0.2, data_mix_mild=0.4,
+    )
+    t = Trainer(cfg)
+    seen = []
+    real_synth = trainer_mod.synthetic_batch
+
+    def fake_synth(key, n, dcfg):
+        seen.append(dcfg)
+        z = jnp.zeros((n, 32, 32, 3), jnp.float32)
+        return z, z, jnp.zeros((n, 28), jnp.float32)
+
+    t.step_fn = lambda state, *b: (state, jnp.zeros(()))
+    trainer_mod.synthetic_batch = fake_synth
+    try:
+        t.run(40, log_every=1000)
+    finally:
+        trainer_mod.synthetic_batch = real_synth
+
+    n_rich = sum(1 for c in seen if not c.photo)
+    n_mild = sum(1 for c in seen if c.photo and not c.deconv)
+    n_deconv = sum(1 for c in seen if c.photo and c.deconv)
+    assert n_rich == 8, f"rich {n_rich}/40 (wanted exactly 0.2)"
+    # a rich collision at the horizon end can carry one mild credit past the
+    # last step, so the short-horizon count is fraction-exact within 1
+    assert 15 <= n_mild <= 16, f"mild {n_mild}/40 (wanted 0.4 within 1)"
+    assert n_deconv == 40 - n_rich - n_mild, f"deconv {n_deconv}/40"
