@@ -20,7 +20,9 @@ assert float(jnp.sum(jnp.ones((8, 8)))) == 64.0
 EOF
 }
 
-while [ ! -e /tmp/r4g/ALL_DONE ]; do sleep 60; done
+# chain behind whichever retrain queue is active (r4g historically; r4j after
+# the second VM restart relaunch)
+while [ ! -e /tmp/r4g/ALL_DONE ] && [ ! -e /tmp/r4j/ALL_DONE ]; do sleep 60; done
 
 until probe; do
   echo "chip unavailable at $(date -u +%H:%M:%S)" >> "$LOGDIR/health.log"
