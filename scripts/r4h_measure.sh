@@ -30,6 +30,7 @@ until probe; do
 done
 
 timeout 2400 python scripts/measure_segments.py > "$OUT/segments.log" 2>&1
+timeout 1800 python scripts/measure_sr_tiled_wall.py > "$OUT/sr_tiled_wall.log" 2>&1
 timeout 1800 python scripts/profile_restore.py > "$OUT/profile.log" 2>&1
 timeout 900 python scripts/parse_xplane.py /tmp/irp_prof hlo_stats \
   > "$OUT/hlo_stats.log" 2>&1
