@@ -92,6 +92,29 @@ def main() -> None:
             )
         report[fam_name] = entry
 
+    def smooth_batch(seed, n, size):
+        """Low-frequency-only eval surfaces (cosine gratings + ramp; no
+        legitimate texture). Same evaluation family as
+        tests/test_quality.py::_smooth_batch but a different seed/mix, and
+        construction-disjoint from TRAIN_DATA_SMOOTH's bilinear control
+        grids — this is the numeric anti-hallucination axis the promotion
+        validator tracks (regression tolerance), complementing the hard gate."""
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        out = np.zeros((n, size, size, 3), np.float32)
+        for i in range(n):
+            img = np.zeros((size, size, 3), np.float32)
+            for _ in range(4):
+                fx, fy = rng.uniform(-2.5, 2.5, 2)
+                ph = rng.uniform(0, 2 * np.pi)
+                amp = rng.uniform(0.04, 0.18)
+                g = amp * np.cos(2 * np.pi * (fx * xx + fy * yy) + ph)
+                img += g[..., None] * rng.uniform(0.3, 1.0, 3)
+            a, b = rng.uniform(-0.3, 0.3, 2)
+            img += (a * xx + b * yy)[..., None] * rng.uniform(0.5, 1.0, 3)
+            out[i] = np.clip(img + 0.35, 0.0, 1.0)
+        return jnp.asarray(out)
+
     for fam_name in ("sr-x2", "sr-x4"):
         family = get_family(fam_name)
         path = W.weights_path(fam_name)
@@ -102,6 +125,28 @@ def main() -> None:
         template = family.init(jax.random.PRNGKey(0), cfgm)
         params = W.load_params(template, path)
         entry = {}
+        smooth_hr = smooth_batch(args.seed + 9000, args.n, args.size)
+        lo = smooth_hr.reshape(
+            args.n, args.size // s, s, args.size // s, s, 3
+        ).mean(axis=(2, 4))
+        base = jnp.repeat(jnp.repeat(lo, s, axis=1), s, axis=2)
+        pred = jnp.clip(
+            family.apply(params, lo.astype(jnp.bfloat16), cfgm).astype(jnp.float32),
+            0.0, 1.0,
+        )
+        entry["smooth"] = {
+            "clean": {
+                "psnr_nearest": round(psnr(base, smooth_hr), 2),
+                "psnr_sr": round(psnr(pred, smooth_hr), 2),
+                "gain_db": round(psnr(pred, smooth_hr) - psnr(base, smooth_hr), 2),
+            }
+        }
+        log(
+            f"{fam_name:22s} smooth clean   : nearest "
+            f"{entry['smooth']['clean']['psnr_nearest']:6.2f} -> sr "
+            f"{entry['smooth']['clean']['psnr_sr']:6.2f}  "
+            f"({entry['smooth']['clean']['gain_db']:+.2f} dB)"
+        )
         for dname, dcfg in dists.items():
             deg, clean, _ = synthetic_batch(jax.random.PRNGKey(args.seed), args.n, dcfg)
             sub = {}
