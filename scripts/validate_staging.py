@@ -29,6 +29,35 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
 
 
+def attribute_gate_failures(failed_nodes, fam):
+    """Failed gate node ids attributed to ``fam``.
+
+    Parametrized ids carry the family name (``[sr-x2]``), and un-parametrized
+    test names embed it with underscores (``test_sr_x2_beats_nearest``), so
+    matching runs on an underscore-normalized id. Gate tests that name no
+    family (test_quality_ood.py / test_quality_real.py / the flagship held-out
+    gates) exercise the flagship and attribute to restore-unet.
+    """
+    known = ("sr-x2", "sr-x4", "diffusion-restore", "restore-unet-small",
+             "restore-unet")
+    mine = []
+    for node in failed_nodes:
+        norm = node.replace("_", "-")
+        owner = None
+        for name in known:  # most-specific names first
+            if name in norm:
+                owner = name
+                break
+        if owner is None and ("diffusion" in norm or "small" in norm):
+            owner = ("diffusion-restore" if "diffusion" in norm
+                     else "restore-unet-small")
+        if owner is None:
+            owner = "restore-unet"  # flagship-only gate files
+        if owner == fam:
+            mine.append(node)
+    return mine
+
+
 def _run_eval(script_args, weights_dir):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     if weights_dir is not None:
@@ -122,29 +151,6 @@ def main() -> None:
     ]
     log(gates.stdout.strip().splitlines()[-1] if gates.stdout.strip() else gates.stderr[-400:])
 
-    def gate_failures_for(fam: str) -> list:
-        """Failed gate node ids attributed to ``fam``. Parametrized ids carry
-        the family name (e.g. ``[sr-x2]``); un-parametrized quality/OOD/real
-        gates exercise the flagship. Anything unattributable blocks all
-        families (conservative)."""
-        known = ("sr-x2", "sr-x4", "diffusion-restore", "restore-unet-small",
-                 "restore-unet")
-        mine = []
-        for node in failed_nodes:
-            owner = None
-            for name in known:  # most-specific name first in `known`
-                if name in node:
-                    owner = name
-                    break
-            if owner is None and ("diffusion" in node or "small" in node):
-                owner = ("diffusion-restore" if "diffusion" in node
-                         else "restore-unet-small")
-            if owner is None:
-                owner = "restore-unet"  # flagship-only gate files
-            if owner == fam:
-                mine.append(node)
-        return mine
-
     # A red run with nothing attributable (collection error, import crash)
     # means the gates never executed: block every family.
     gates_ran = gates.returncode == 0 or bool(failed_nodes)
@@ -178,7 +184,7 @@ def main() -> None:
                 regressions[k] = {"shipped": round(old, 2), "staged": round(new, 2)}
             elif delta > args.tolerance:
                 improvements[k] = {"shipped": round(old, 2), "staged": round(new, 2)}
-        fam_failures = gate_failures_for(fam)
+        fam_failures = attribute_gate_failures(failed_nodes, fam)
         gates_green = gates_ran and not fam_failures
         verdict = "PROMOTE" if gates_green and not regressions else "HOLD"
         row = {
