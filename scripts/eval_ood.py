@@ -43,9 +43,13 @@ def main() -> None:
 
     import jax
 
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-        # default to CPU: evaluation must not contend with a serving TPU
+    if os.environ.get("IRP_EVAL_ON_TPU") != "1":
+        # CPU unconditionally: evaluation must not contend with a serving or
+        # training TPU. The sandbox site config pins the axon plugin, so the
+        # env var JAX_PLATFORMS=cpu is silently ignored — only this config
+        # update actually forces CPU (same reason tests/conftest.py uses it).
         jax.config.update("jax_platforms", "cpu")
+        assert jax.devices()[0].platform == "cpu", jax.devices()
 
     import jax.numpy as jnp
     import numpy as np

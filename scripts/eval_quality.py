@@ -37,8 +37,11 @@ def main() -> None:
 
     import jax
 
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    if os.environ.get("IRP_EVAL_ON_TPU") != "1":
+        # env JAX_PLATFORMS=cpu is pinned away by the sandbox site config;
+        # only the config update forces CPU (see tests/conftest.py)
         jax.config.update("jax_platforms", "cpu")
+        assert jax.devices()[0].platform == "cpu", jax.devices()
 
     import jax.numpy as jnp
     import numpy as np
