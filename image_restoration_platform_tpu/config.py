@@ -142,6 +142,12 @@ class ServingConfig:
     # conv chain, no stats/attention boundaries), so its fold is a clean
     # ~1.9x on device time and defaults on
     fold_w_sr: bool = field(default_factory=lambda: _env_int("SERVE_FOLD_W_SR", 1) == 1)
+    # spectral blind deblur stage (ops/deblur.py): PSF estimation + gated
+    # Wiener deconvolution in front of the restore backbone. Measured round-4:
+    # OOD defocus +2.3 dB / motion +3.7 dB, real-photo +1.6 / +4.4 dB, zero
+    # false fires on 64 clean/JPEG images; non-firing images pass through
+    # bit-identical, so this defaults on
+    deblur: bool = field(default_factory=lambda: _env_int("SERVE_DEBLUR", 1) == 1)
 
 
 @dataclass

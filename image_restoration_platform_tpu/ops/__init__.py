@@ -2,8 +2,12 @@ from .stencil import conv3x3_clamped_u8, gaussian_blur, K_LAPLACIAN8, K_HIGHPASS
 from .stats import channel_stats, flat_variance
 from .resize import resize, resize_matrix
 from .tile import tile_image, blend_tiles, tile_grid
+from .deblur import deblur_canvas_batch, deblur_reference, select_hypothesis
 
 __all__ = [
+    "deblur_canvas_batch",
+    "deblur_reference",
+    "select_hypothesis",
     "conv3x3_clamped_u8",
     "gaussian_blur",
     "K_LAPLACIAN8",

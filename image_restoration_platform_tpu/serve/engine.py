@@ -183,12 +183,25 @@ class RestorationEngine:
         if use_folded:
             from ..models import folded  # noqa: F811
 
+        # spectral blind deblur stage (ops/deblur.py): detect disk/motion PSFs
+        # from the canvas spectrum and Wiener-invert before the backbone. The
+        # learned model cannot carry the kernel through 28-dim conditioning
+        # (~0 dB on OOD defocus after 40k deconv-training steps); the spectrum
+        # identifies it directly. Non-firing images pass through bit-identical.
+        use_deblur = self.config.deblur
+
+        from ..ops.deblur import deblur_and_recondition as _deblur_and_recondition
+
         if family_name == "diffusion-restore":
 
             def program(params, canvas_u8, valid_hw, is_jpeg_f, key):
                 scores, cond = batch_classify_and_condition(
                     canvas_u8.astype(jnp.float32), valid_hw, is_jpeg_f
                 )
+                if use_deblur:
+                    canvas_u8, cond = _deblur_and_recondition(
+                        canvas_u8, valid_hw, is_jpeg_f, scores
+                    )
                 x = canvas_u8.astype(dtype) / dtype(255.0)
                 out = family.apply(
                     params, x, cond.astype(dtype), key, cfg,
@@ -205,6 +218,10 @@ class RestorationEngine:
             scores, cond = batch_classify_and_condition(
                 canvas_u8.astype(jnp.float32), valid_hw, is_jpeg_f
             )
+            if use_deblur:
+                canvas_u8, cond = _deblur_and_recondition(
+                    canvas_u8, valid_hw, is_jpeg_f, scores
+                )
             x = canvas_u8.astype(dtype) / dtype(255.0)
             out = backbone(params, x, cond.astype(dtype), config=cfg)
             out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
