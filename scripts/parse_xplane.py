@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import sys
 
 
@@ -23,6 +24,11 @@ def main() -> None:
         raise SystemExit(f"no .xplane.pb under {trace_dir}")
     path = paths[-1]
     print(f"# parsing {path} with tool={tool}", file=sys.stderr)
+
+    # the bundled tbp protos are generated with an older protoc than the
+    # installed protobuf runtime accepts in C++ mode (measured 2026-08-19:
+    # "Descriptors cannot be created directly"); pure-python parsing works
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
     from tensorboard_plugin_profile.convert import raw_to_tool_data
 
