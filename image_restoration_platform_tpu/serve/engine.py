@@ -200,7 +200,7 @@ class RestorationEngine:
                 )
                 if use_deblur:
                     canvas_u8, cond = _deblur_and_recondition(
-                        canvas_u8, valid_hw, is_jpeg_f, scores
+                        canvas_u8, valid_hw, is_jpeg_f, scores, cond
                     )
                 x = canvas_u8.astype(dtype) / dtype(255.0)
                 out = family.apply(
@@ -220,7 +220,7 @@ class RestorationEngine:
             )
             if use_deblur:
                 canvas_u8, cond = _deblur_and_recondition(
-                    canvas_u8, valid_hw, is_jpeg_f, scores
+                    canvas_u8, valid_hw, is_jpeg_f, scores, cond
                 )
             x = canvas_u8.astype(dtype) / dtype(255.0)
             out = backbone(params, x, cond.astype(dtype), config=cfg)

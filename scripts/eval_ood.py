@@ -95,7 +95,7 @@ def main() -> None:
         scores, cond = batch_classify_and_condition(
             canvas_u8.astype(jnp.float32), valid, is_jpeg
         )
-        canvas_u8, cond = deblur_and_recondition(canvas_u8, valid, is_jpeg, scores)
+        canvas_u8, cond = deblur_and_recondition(canvas_u8, valid, is_jpeg, scores, cond)
         x = canvas_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
         pred = family.apply(
             params, x, cond.astype(jnp.bfloat16), config=family.config,
