@@ -49,17 +49,34 @@ def main() -> None:
         family.init(jax.random.PRNGKey(0), family.config), W.weights_path("restore-unet")
     )
     out = {}
+    # metric matches scripts/eval_quality.py (upgraded 2026-08-19): mean
+    # per-image gain over the damage rows of several independent batches —
+    # the single-batch aggregate let one hard image flip promotion verdicts
+    # and counted identity rows as "gain"
+    seeds = int(os.environ.get("IRP_EVAL_SEEDS", "4"))
     for name, cfg in (
         ("rich", DataConfig(size=args.size)),
         ("photo", DataConfig(size=args.size, photo=True)),
     ):
-        degraded, clean, cond = synthetic_batch(jax.random.PRNGKey(args.seed), args.n, cfg)
-        pred = family.apply(
-            params, degraded.astype(jnp.bfloat16), cond.astype(jnp.bfloat16),
-            config=family.config,
-        )
-        pred = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
-        out[name] = round(psnr(pred, clean) - psnr(degraded, clean), 3)
+        gains = []
+        for k in range(seeds):
+            degraded, clean, cond = synthetic_batch(
+                jax.random.PRNGKey(args.seed + k), args.n, cfg
+            )
+            pred = family.apply(
+                params, degraded.astype(jnp.bfloat16), cond.astype(jnp.bfloat16),
+                config=family.config,
+            )
+            pred = np.asarray(jnp.clip(pred.astype(jnp.float32), 0.0, 1.0))
+            deg = np.asarray(degraded, np.float32)
+            cl = np.asarray(clean, np.float32)
+            mse_in = np.maximum(np.mean(np.square(deg - cl), axis=(1, 2, 3)), 1e-10)
+            mse_out = np.maximum(np.mean(np.square(pred - cl), axis=(1, 2, 3)), 1e-10)
+            pin = 10.0 * np.log10(1.0 / mse_in)
+            pout = 10.0 * np.log10(1.0 / mse_out)
+            sel = pin < 48.0
+            gains += list((pout - pin)[sel])
+        out[name] = round(float(np.mean(gains)) if gains else 0.0, 3)
     print(json.dumps(out), flush=True)
 
 

@@ -3,7 +3,8 @@ distributions, plus the OOD summary. One JSON on stdout; human table on
 stderr. This is the reproducible source for BASELINE.md's quality numbers.
 
 Usage:
-    python scripts/eval_quality.py [--n 8] [--size 128] [--seed 999001]
+    python scripts/eval_quality.py [--n 8] [--seeds 4] [--size 128]
+                                   [--seed 999001]
 
 Runs on CPU by design (evaluation must not contend with a serving/training
 TPU); the serving dtype (bf16) is used for every forward.
@@ -16,6 +17,17 @@ Distributions:
 SR families report gain over nearest-neighbor upsampling of the
 2x2-box-downscaled clean (pure SR) AND of the degraded input (joint
 restoration+SR, the tests/test_quality.py gate semantics).
+
+Metric (upgraded 2026-08-19): ``gain_db`` is the MEAN PER-IMAGE PSNR gain
+over the damage rows of ``--seeds`` independent batches. The original
+single-batch aggregate had two defects the promotion validator inherited:
+(a) aggregate PSNR is mse-weighted, so one hard image dominates the axis
+(a measured 1.3 dB "photo regression" between two candidates reduced to
+0.16 dB at 6x the sample size — within tolerance, flipping a HOLD); and
+(b) synthetic_batch keeps ~10% of rows clean for identity training, and a
+"gain" measured against an identical input is quantization noise, not
+restoration. Damage rows = per-image input PSNR < 48 dB. The aggregate is
+still reported as ``agg_gain_db`` for continuity with earlier tables.
 """
 
 from __future__ import annotations
@@ -31,6 +43,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--seeds", type=int, default=4, help="independent batches per axis")
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--seed", type=int, default=999_001)
     args = ap.parse_args()
@@ -54,6 +67,29 @@ def main() -> None:
         mse = float(jnp.mean(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32))))
         return 10.0 * np.log10(1.0 / max(mse, 1e-10))
 
+    def per_image_psnr(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        mse = np.maximum(np.mean(np.square(a - b), axis=(1, 2, 3)), 1e-10)
+        return 10.0 * np.log10(1.0 / mse)
+
+    DAMAGE_PSNR_MAX = 48.0  # rows above this are identity rows, not damage
+
+    def gain_stats(pin_rows, pout_rows, damage_only=True):
+        """(mean per-image gain over damage rows, aggregate-equivalent gain,
+        number of rows used)."""
+        pin_rows = np.concatenate(pin_rows)
+        pout_rows = np.concatenate(pout_rows)
+        sel = pin_rows < DAMAGE_PSNR_MAX if damage_only else np.ones_like(pin_rows, bool)
+        used = int(sel.sum())
+        mean_gain = float(np.mean(pout_rows[sel] - pin_rows[sel])) if used else 0.0
+        # aggregate over every row (the legacy metric): reconstruct from
+        # per-image mse means
+        mse_in = np.mean(10.0 ** (-pin_rows / 10.0))
+        mse_out = np.mean(10.0 ** (-pout_rows / 10.0))
+        agg = 10.0 * np.log10(max(mse_in, 1e-10) / max(mse_out, 1e-10))
+        return mean_gain, float(agg), used
+
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
 
@@ -72,26 +108,33 @@ def main() -> None:
         params = W.load_params(template, path)
         entry = {}
         for dname, dcfg in dists.items():
-            deg, clean, cond = synthetic_batch(jax.random.PRNGKey(args.seed), args.n, dcfg)
-            if fam_name == "diffusion-restore":
-                pred = family.apply(
-                    params, deg.astype(jnp.bfloat16), cond.astype(jnp.bfloat16),
-                    jax.random.PRNGKey(0), config=family.config,
+            pins, pouts = [], []
+            for k in range(args.seeds):
+                deg, clean, cond = synthetic_batch(
+                    jax.random.PRNGKey(args.seed + k), args.n, dcfg
                 )
-            else:
-                pred = family.apply(
-                    params, deg.astype(jnp.bfloat16), cond.astype(jnp.bfloat16),
-                    config=family.config,
-                )
-            pred = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+                if fam_name == "diffusion-restore":
+                    pred = family.apply(
+                        params, deg.astype(jnp.bfloat16), cond.astype(jnp.bfloat16),
+                        jax.random.PRNGKey(0), config=family.config,
+                    )
+                else:
+                    pred = family.apply(
+                        params, deg.astype(jnp.bfloat16), cond.astype(jnp.bfloat16),
+                        config=family.config,
+                    )
+                pred = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+                pins.append(per_image_psnr(deg, clean))
+                pouts.append(per_image_psnr(pred, clean))
+            gain, agg, used = gain_stats(pins, pouts)
             entry[dname] = {
-                "psnr_in": round(psnr(deg, clean), 2),
-                "psnr_out": round(psnr(pred, clean), 2),
-                "gain_db": round(psnr(pred, clean) - psnr(deg, clean), 2),
+                "gain_db": round(gain, 2),
+                "agg_gain_db": round(agg, 2),
+                "damage_rows": used,
             }
             log(
-                f"{fam_name:22s} {dname:6s}: {entry[dname]['psnr_in']:6.2f} -> "
-                f"{entry[dname]['psnr_out']:6.2f}  ({entry[dname]['gain_db']:+.2f} dB)"
+                f"{fam_name:22s} {dname:6s}: per-image {gain:+.2f} dB over "
+                f"{used} damage rows (agg {agg:+.2f})"
             )
         report[fam_name] = entry
 
@@ -128,52 +171,58 @@ def main() -> None:
         template = family.init(jax.random.PRNGKey(0), cfgm)
         params = W.load_params(template, path)
         entry = {}
-        smooth_hr = smooth_batch(args.seed + 9000, args.n, args.size)
-        lo = smooth_hr.reshape(
-            args.n, args.size // s, s, args.size // s, s, 3
-        ).mean(axis=(2, 4))
-        base = jnp.repeat(jnp.repeat(lo, s, axis=1), s, axis=2)
-        pred = jnp.clip(
-            family.apply(params, lo.astype(jnp.bfloat16), cfgm).astype(jnp.float32),
-            0.0, 1.0,
-        )
-        entry["smooth"] = {
-            "clean": {
-                "psnr_nearest": round(psnr(base, smooth_hr), 2),
-                "psnr_sr": round(psnr(pred, smooth_hr), 2),
-                "gain_db": round(psnr(pred, smooth_hr) - psnr(base, smooth_hr), 2),
-            }
-        }
-        log(
-            f"{fam_name:22s} smooth clean   : nearest "
-            f"{entry['smooth']['clean']['psnr_nearest']:6.2f} -> sr "
-            f"{entry['smooth']['clean']['psnr_sr']:6.2f}  "
-            f"({entry['smooth']['clean']['gain_db']:+.2f} dB)"
-        )
+
+        def sr_forward(lo):
+            return jnp.clip(
+                family.apply(params, lo.astype(jnp.bfloat16), cfgm).astype(jnp.float32),
+                0.0, 1.0,
+            )
+
+        pins, pouts = [], []
+        for k in range(args.seeds):
+            smooth_hr = smooth_batch(args.seed + 9000 + k, args.n, args.size)
+            lo = smooth_hr.reshape(
+                args.n, args.size // s, s, args.size // s, s, 3
+            ).mean(axis=(2, 4))
+            base = jnp.repeat(jnp.repeat(lo, s, axis=1), s, axis=2)
+            pred = sr_forward(lo)
+            pins.append(per_image_psnr(base, smooth_hr))
+            pouts.append(per_image_psnr(pred, smooth_hr))
+        gain, agg, used = gain_stats(pins, pouts, damage_only=False)
+        entry["smooth"] = {"clean": {"gain_db": round(gain, 2), "agg_gain_db": round(agg, 2)}}
+        log(f"{fam_name:22s} smooth clean   : per-image {gain:+.2f} dB (agg {agg:+.2f})")
+
         for dname, dcfg in dists.items():
-            deg, clean, _ = synthetic_batch(jax.random.PRNGKey(args.seed), args.n, dcfg)
-            sub = {}
-            for mode, src in (("clean", clean), ("degraded", deg)):
-                lo = src.reshape(args.n, args.size // s, s, args.size // s, s, 3).mean(axis=(2, 4))
-                base = jnp.repeat(jnp.repeat(lo, s, axis=1), s, axis=2)
-                pred = jnp.clip(
-                    family.apply(params, lo.astype(jnp.bfloat16), cfgm).astype(jnp.float32),
-                    0.0, 1.0,
+            sub = {m: ([], []) for m in ("clean", "degraded")}
+            for k in range(args.seeds):
+                deg, clean, _ = synthetic_batch(
+                    jax.random.PRNGKey(args.seed + k), args.n, dcfg
                 )
-                sub[mode] = {
-                    "psnr_nearest": round(psnr(base, clean), 2),
-                    "psnr_sr": round(psnr(pred, clean), 2),
-                    "gain_db": round(psnr(pred, clean) - psnr(base, clean), 2),
-                }
+                for mode, src in (("clean", clean), ("degraded", deg)):
+                    lo = src.reshape(
+                        args.n, args.size // s, s, args.size // s, s, 3
+                    ).mean(axis=(2, 4))
+                    base = jnp.repeat(jnp.repeat(lo, s, axis=1), s, axis=2)
+                    pred = sr_forward(lo)
+                    sub[mode][0].append(per_image_psnr(base, clean))
+                    sub[mode][1].append(per_image_psnr(pred, clean))
+            entry[dname] = {}
+            for mode, (pi, po) in sub.items():
+                # every row is a meaningful SR task (a kept-clean row's
+                # "degraded" input is just the downscaled clean)
+                gain, agg, _ = gain_stats(pi, po, damage_only=False)
+                entry[dname][mode] = {"gain_db": round(gain, 2), "agg_gain_db": round(agg, 2)}
                 log(
-                    f"{fam_name:22s} {dname:6s} {mode:8s}: nearest "
-                    f"{sub[mode]['psnr_nearest']:6.2f} -> sr {sub[mode]['psnr_sr']:6.2f}  "
-                    f"({sub[mode]['gain_db']:+.2f} dB)"
+                    f"{fam_name:22s} {dname:6s} {mode:8s}: per-image {gain:+.2f} dB "
+                    f"(agg {agg:+.2f})"
                 )
-            entry[dname] = sub
         report[fam_name] = entry
 
-    print(json.dumps({"n": args.n, "size": args.size, "families": report}))
+    print(
+        json.dumps(
+            {"n": args.n, "seeds": args.seeds, "size": args.size, "families": report}
+        )
+    )
 
 
 if __name__ == "__main__":
