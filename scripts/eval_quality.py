@@ -46,7 +46,15 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=4, help="independent batches per axis")
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--seed", type=int, default=999_001)
+    ap.add_argument("--family", action="append", default=None,
+                    help="repeatable; restrict to these families (default: all). "
+                         "On the 1-core eval box a full 5-family 4-seed pass "
+                         "takes tens of minutes; the promotion validator only "
+                         "needs the family under test.")
     args = ap.parse_args()
+
+    def family_wanted(name):
+        return args.family is None or name in args.family
 
     import jax
 
@@ -100,6 +108,8 @@ def main() -> None:
     report: dict = {}
 
     for fam_name in ("restore-unet", "restore-unet-small", "diffusion-restore"):
+        if not family_wanted(fam_name):
+            continue
         family = get_family(fam_name)
         path = W.weights_path(fam_name)
         if not os.path.exists(path):
@@ -162,6 +172,8 @@ def main() -> None:
         return jnp.asarray(out)
 
     for fam_name in ("sr-x2", "sr-x4"):
+        if not family_wanted(fam_name):
+            continue
         family = get_family(fam_name)
         path = W.weights_path(fam_name)
         if not os.path.exists(path):

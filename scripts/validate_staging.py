@@ -155,10 +155,14 @@ def main() -> None:
     # means the gates never executed: block every family.
     gates_ran = gates.returncode == 0 or bool(failed_nodes)
 
-    # 2. numeric comparison vs shipped, family by family
+    # 2. numeric comparison vs shipped, family by family. Restrict the
+    #    eval to the families under test: a full 5-family 4-seed pass takes
+    #    tens of minutes on the 1-core eval box and the validator reads only
+    #    the target families' rows.
     log("[2/3] held-out table (eval_quality) for shipped and staged ...")
-    shipped_q = _run_eval(["scripts/eval_quality.py"], None)
-    staged_q = _run_eval(["scripts/eval_quality.py"], stage)
+    fam_args = [a for f in fams for a in ("--family", f)]
+    shipped_q = _run_eval(["scripts/eval_quality.py", *fam_args], None)
+    staged_q = _run_eval(["scripts/eval_quality.py", *fam_args], stage)
 
     need_flagship = "restore-unet" in fams
     shipped_f = staged_f = {}
