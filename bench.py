@@ -170,15 +170,22 @@ def main() -> None:
             detail["device_ms_per_image_b8"] = round(step_s / cfg.max_batch * 1000.0, 3)
             try:
                 flops = exe.cost_analysis()["flops"]
-                if not on_cpu and engine.config.fold_w:
-                    # MFU must be MODEL-flops utilization. The W-folded
-                    # program's phase-decomposed decoder makes XLA's flop
-                    # count of the *executed* HLO ~2x the algorithmic flops
-                    # (each 2x2 output phase is counted as a full conv), which
-                    # would overstate MFU — so count flops on the canonical
-                    # unfolded program instead (a disk-cache-hit load once the
-                    # fold A/B has run on this machine; at worst one compile).
-                    cfg_u = ServingConfig(size_buckets=(512,), max_batch=cfg.max_batch, fold_w=False)
+                if not on_cpu and (engine.config.fold_w or engine.config.deblur):
+                    # MFU must be MODEL-flops utilization, so count flops on a
+                    # canonical program: (a) the W-folded program's
+                    # phase-decomposed decoder makes XLA's flop count of the
+                    # *executed* HLO ~2x the algorithmic flops (each 2x2
+                    # output phase is counted as a full conv); (b) the
+                    # deblur stage's spectral FFTs and its lax.cond duplicate
+                    # of the restore branch are counted by cost_analysis even
+                    # though the Wiener branch rarely executes. Both would
+                    # overstate MFU — count flops on the unfolded no-deblur
+                    # program (a disk-cache-hit load once its A/B has run on
+                    # this machine; at worst one compile).
+                    cfg_u = ServingConfig(
+                        size_buckets=(512,), max_batch=cfg.max_batch,
+                        fold_w=False, deblur=False,
+                    )
                     eng_u = RestorationEngine(serving_config=cfg_u)
                     eng_u.restore_batch(canvas, valid, jpeg_f, "restore-unet")
                     key_u = next(
