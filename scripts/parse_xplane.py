@@ -1,80 +1,118 @@
 """Parse a jax.profiler xplane trace (from scripts/profile_restore.py) into a
-per-HLO-op device-time table, offline via tensorboard_plugin_profile.
+per-HLO-op device-time table.
 
 Usage:
     python scripts/parse_xplane.py [trace_dir=/tmp/irp_prof] [tool=hlo_stats]
 
-Prints the tool's table (CSV/JSON as provided by the plugin) to stdout; for
-hlo_stats additionally prints a top-30 summary by self device time.
+Parses the XSpace protobuf directly with TF's bundled ``xplane_pb2`` and
+aggregates event durations on the TPU device plane — the
+tensorboard_plugin_profile conversion path is broken on this image twice
+over (its generated protos predate the installed protobuf runtime, and its
+``_pywrap_profiler`` wrapper expects a ``xspace_to_tools_data`` symbol the
+installed TF does not export), so we read the trace ourselves:
+
+- ``XLA Ops`` line: self device time per op instance; aggregated by the
+  op's metadata name (the HLO instruction) and by its op-category prefix.
+- ``XLA Modules`` line: wall device time per compiled module execution.
+
+Prints a JSON payload on stdout (top table + totals) and a human top-30
+table on stderr.
 """
 
 from __future__ import annotations
 
+import collections
 import glob
 import json
 import os
 import sys
 
+# the bundled protos are generated with an older protoc than the installed
+# protobuf runtime accepts in C++ mode ("Descriptors cannot be created
+# directly"); pure-python parsing works and must be selected before any
+# google.protobuf import
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 
 def main() -> None:
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/irp_prof"
-    tool = sys.argv[2] if len(sys.argv) > 2 else "hlo_stats"
+    # `tool` retained for CLI compatibility with the old tbp-based version
+    _tool = sys.argv[2] if len(sys.argv) > 2 else "hlo_stats"
     paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
     if not paths:
         raise SystemExit(f"no .xplane.pb under {trace_dir}")
     path = paths[-1]
-    print(f"# parsing {path} with tool={tool}", file=sys.stderr)
+    print(f"# parsing {path}", file=sys.stderr)
 
-    # the bundled tbp protos are generated with an older protoc than the
-    # installed protobuf runtime accepts in C++ mode (measured 2026-08-19:
-    # "Descriptors cannot be created directly"); pure-python parsing works
-    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    space = xplane_pb2.XSpace()
+    with open(path, "rb") as fh:
+        space.ParseFromString(fh.read())
 
-    data, content_type = raw_to_tool_data.xspace_to_tool_data([path], tool, params={})
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", errors="replace")
-    print(f"# content_type={content_type}", file=sys.stderr)
+    device_planes = [p for p in space.planes if "/device:" in p.name and p.lines]
+    if not device_planes:
+        raise SystemExit(f"no device plane with events in {path}")
 
-    if tool == "hlo_stats":
-        # hlo_stats is JSON-ish ({"data": [ [cols...], ...]}); fall back to
-        # raw dump if the schema differs across versions
-        try:
-            payload = json.loads(data)
-            rows = payload if isinstance(payload, list) else payload.get("data", [])
-            # find header
-            header = rows[0]
-            idx_time = next(
-                i for i, h in enumerate(header)
-                if "self" in str(h).lower() and "time" in str(h).lower()
+    payload = {"trace": path, "planes": {}}
+    for plane in device_planes:
+        meta = plane.event_metadata
+        by_op: dict[str, float] = collections.defaultdict(float)
+        by_cat: dict[str, float] = collections.defaultdict(float)
+        counts: dict[str, int] = collections.defaultdict(int)
+        modules_ms = 0.0
+        module_runs = 0
+        for line in plane.lines:
+            if line.name == "XLA Modules":
+                for ev in line.events:
+                    modules_ms += ev.duration_ps / 1e9
+                    module_runs += 1
+                continue
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = meta[ev.metadata_id].name if ev.metadata_id in meta else "?"
+                ms = ev.duration_ps / 1e9
+                by_op[name] += ms
+                counts[name] += 1
+                # category = HLO opcode prefix of the instruction name
+                # (fusion.123 -> fusion, dynamic-update-slice.5 -> d-u-s)
+                cat = name.split(".")[0].rstrip("0123456789_")
+                by_cat[cat] += ms
+
+        top = sorted(by_op.items(), key=lambda kv: kv[1], reverse=True)[:30]
+        total_ops_ms = sum(by_op.values())
+        print(
+            f"\n== {plane.name}: {module_runs} module runs, "
+            f"{modules_ms:.2f} ms module wall, {total_ops_ms:.2f} ms op self time",
+            file=sys.stderr,
+        )
+        for name, ms in top:
+            print(
+                f"  {ms:9.3f} ms  {100.0 * ms / max(total_ops_ms, 1e-9):5.1f}%  "
+                f"x{counts[name]:<5d} {name[:90]}",
+                file=sys.stderr,
             )
-            idx_name = next(
-                i for i, h in enumerate(header) if "expression" in str(h).lower()
-                or "name" in str(h).lower()
+        print("  -- by category --", file=sys.stderr)
+        for cat, ms in sorted(by_cat.items(), key=lambda kv: kv[1], reverse=True)[:12]:
+            print(
+                f"  {ms:9.3f} ms  {100.0 * ms / max(total_ops_ms, 1e-9):5.1f}%  {cat}",
+                file=sys.stderr,
             )
-            idx_cat = next(
-                (i for i, h in enumerate(header) if "category" in str(h).lower()), None
-            )
-            body = rows[1:]
-            body.sort(key=lambda r: -float(r[idx_time] or 0))
-            total = sum(float(r[idx_time] or 0) for r in body)
-            print(f"total self device time: {total:.0f} us")
-            by_cat: dict = {}
-            for r in body:
-                cat = str(r[idx_cat]) if idx_cat is not None else "?"
-                by_cat[cat] = by_cat.get(cat, 0.0) + float(r[idx_time] or 0)
-            print("\nby category:")
-            for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
-                print(f"  {t/max(total,1e-9)*100:5.1f}%  {t:10.0f} us  {cat}")
-            print("\ntop 30 ops by self time:")
-            for r in body[:30]:
-                print(f"  {float(r[idx_time] or 0):10.0f} us  {str(r[idx_name])[:110]}")
-            return
-        except Exception as error:  # pragma: no cover - schema drift
-            print(f"# structured parse failed ({error!r}); raw dump follows",
-                  file=sys.stderr)
-    print(data[:200000] if isinstance(data, str) else data)
+        payload["planes"][plane.name] = {
+            "module_runs": module_runs,
+            "modules_ms": round(modules_ms, 3),
+            "ops_self_ms": round(total_ops_ms, 3),
+            "top_ops": [
+                {"name": n, "ms": round(ms, 4), "count": counts[n]} for n, ms in top
+            ],
+            "by_category": {
+                c: round(ms, 3)
+                for c, ms in sorted(by_cat.items(), key=lambda kv: kv[1], reverse=True)
+            },
+        }
+
+    print(json.dumps(payload), flush=True)
 
 
 if __name__ == "__main__":
