@@ -209,3 +209,18 @@ def test_deblur_gains_on_ood_classes():
     assert f_mot >= 5, f"motion fired only {f_mot}/12"
     assert g_def >= -0.3, f"defocus harmed: {g_def:.2f} dB (fired {f_def}/12)"
     assert f_clean == 0 and abs(g_clean) < 1e-6, f"clean fired {f_clean}/12"
+
+
+def test_percentile_high_matches_jnp_percentile():
+    """The top_k-based high-percentile (the full-sort replacement in the
+    directional veto; ~10% of the serving step) selects the exact same
+    order statistics as jnp.percentile and interpolates within f32 rounding
+    of the rank weight (jnp quantizes the rank to f32; we keep it f64)."""
+    rng = np.random.default_rng(7)
+    for n in (65536, 4096, 100, 7, 2):
+        for q in (99.0, 95.0, 90.0):
+            x = jnp.asarray(rng.normal(size=(4, n)).astype(np.float32))
+            ref = jnp.percentile(x, q, axis=1)
+            new = D._percentile_high(x, q)
+            scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+            assert float(jnp.max(jnp.abs(ref - new))) <= 1e-5 * max(scale, 1.0), (n, q)
