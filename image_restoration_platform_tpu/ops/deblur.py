@@ -392,9 +392,9 @@ def select_hypothesis(
 def _percentile_high(x: jnp.ndarray, q: float) -> jnp.ndarray:
     """Exact ``jnp.percentile(x, q, axis=1)`` for high q via ``lax.top_k``.
 
-    ``jnp.percentile`` lowers to a full per-row sort — measured 1.1 ms per
-    f32[8,65536] row-sort on v5e (parse_xplane, 2026-08-19), ~10% of the
-    serving step for the two q=99 calls in the directional veto. The linear
+    ``jnp.percentile`` lowers to a full per-row sort — measured 0.50 ms per
+    f32[8,65536] row-sort on v5e (parse_xplane, 2026-08-19), ~1.0 ms/step
+    (~4%) for the two q=99 calls in the directional veto. The linear
     interpolation between the two order statistics around rank
     ``q/100*(n-1)`` needs only the top ``n - floor(rank)`` values, which
     top_k produces in a fraction of a full sort. The selected order
