@@ -34,15 +34,18 @@ import sys
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
-def main() -> None:
-    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/irp_prof"
-    # `tool` retained for CLI compatibility with the old tbp-based version
-    _tool = sys.argv[2] if len(sys.argv) > 2 else "hlo_stats"
+def summarize_xspace(trace_dir: str, verbose: bool = True) -> dict:
+    """Aggregate the newest xplane.pb under ``trace_dir`` into a per-device
+    payload: module wall time/runs, per-op self time (top 30), per-category
+    totals. Device times come from the chip's own event clocks, so this is
+    valid even when the tunnel's D2H path is degraded (the failure mode that
+    corrupts host-side chain-differenced timing; docs/STATUS.md 12:05 UTC)."""
     paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
     if not paths:
         raise SystemExit(f"no .xplane.pb under {trace_dir}")
     path = paths[-1]
-    print(f"# parsing {path}", file=sys.stderr)
+    if verbose:
+        print(f"# parsing {path}", file=sys.stderr)
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
@@ -82,23 +85,24 @@ def main() -> None:
 
         top = sorted(by_op.items(), key=lambda kv: kv[1], reverse=True)[:30]
         total_ops_ms = sum(by_op.values())
-        print(
-            f"\n== {plane.name}: {module_runs} module runs, "
-            f"{modules_ms:.2f} ms module wall, {total_ops_ms:.2f} ms op self time",
-            file=sys.stderr,
-        )
-        for name, ms in top:
+        if verbose:
             print(
-                f"  {ms:9.3f} ms  {100.0 * ms / max(total_ops_ms, 1e-9):5.1f}%  "
-                f"x{counts[name]:<5d} {name[:90]}",
+                f"\n== {plane.name}: {module_runs} module runs, "
+                f"{modules_ms:.2f} ms module wall, {total_ops_ms:.2f} ms op self time",
                 file=sys.stderr,
             )
-        print("  -- by category --", file=sys.stderr)
-        for cat, ms in sorted(by_cat.items(), key=lambda kv: kv[1], reverse=True)[:12]:
-            print(
-                f"  {ms:9.3f} ms  {100.0 * ms / max(total_ops_ms, 1e-9):5.1f}%  {cat}",
-                file=sys.stderr,
-            )
+            for name, ms in top:
+                print(
+                    f"  {ms:9.3f} ms  {100.0 * ms / max(total_ops_ms, 1e-9):5.1f}%  "
+                    f"x{counts[name]:<5d} {name[:90]}",
+                    file=sys.stderr,
+                )
+            print("  -- by category --", file=sys.stderr)
+            for cat, ms in sorted(by_cat.items(), key=lambda kv: kv[1], reverse=True)[:12]:
+                print(
+                    f"  {ms:9.3f} ms  {100.0 * ms / max(total_ops_ms, 1e-9):5.1f}%  {cat}",
+                    file=sys.stderr,
+                )
         payload["planes"][plane.name] = {
             "module_runs": module_runs,
             "modules_ms": round(modules_ms, 3),
@@ -112,6 +116,13 @@ def main() -> None:
             },
         }
 
+    return payload
+
+
+def main() -> None:
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/irp_prof"
+    # second arg retained for CLI compatibility with the old tbp-based version
+    payload = summarize_xspace(trace_dir)
     print(json.dumps(payload), flush=True)
 
 
