@@ -51,15 +51,34 @@ def main() -> None:
     import subprocess
 
     probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "180"))
+    # two-tier probe: (1) device reachable at all; (2) bulk D2H healthy
+    # (12 MB fresh buffer < 5 s). The axon tunnel has a degraded mode where
+    # dispatch/H2D work but D2H stalls unpredictably (docs/STATUS.md
+    # 2026-08-19); host-timed sections that fetch per call would hang past
+    # any driver timeout with no headline printed, so a degraded tunnel runs
+    # a minimal single-image section only, honestly labeled.
+    probe_src = (
+        "import time, numpy as np, jax\n"
+        "assert jax.devices()[0].platform != 'cpu'\n"
+        "a = np.random.default_rng(int(time.time()) % 2**31).integers("
+        "0, 255, (1024, 1024, 12), dtype=np.uint8)\n"
+        "d = jax.device_put(a); d.block_until_ready()\n"
+        "t0 = time.perf_counter(); np.asarray(d)\n"
+        "assert time.perf_counter() - t0 < 5.0, 'D2H degraded'\n"
+    )
+    tpu_degraded = False
     try:
         probe = subprocess.run(
-            [sys.executable, "-c", "import jax; assert jax.devices()"],
-            timeout=probe_timeout,
-            capture_output=True,
+            [sys.executable, "-c", probe_src], timeout=probe_timeout, capture_output=True
         )
         tpu_ok = probe.returncode == 0
         if not tpu_ok:
-            log(f"TPU probe failed: {probe.stderr.decode()[-500:]}")
+            err = probe.stderr.decode()[-500:]
+            if "D2H degraded" in err:
+                tpu_ok, tpu_degraded = True, True
+                log("TPU reachable but tunnel D2H degraded: minimal sections only")
+            else:
+                log(f"TPU probe failed: {err}")
     except subprocess.TimeoutExpired:
         tpu_ok = False
         log(f"TPU probe hung past {probe_timeout:.0f}s (tunnel down)")
@@ -71,9 +90,10 @@ def main() -> None:
     on_cpu = devices[0].platform == "cpu"
 
     # CPU fallback runs every section with tiny counts so the full script
-    # (incl. one cold XLA:CPU compile) stays under a 10-minute kill.
-    n_warm = 1 if on_cpu else 2
-    n_single = 3 if on_cpu else 12
+    # (incl. one cold XLA:CPU compile) stays under a 10-minute kill. A
+    # degraded tunnel gets TPU execution but minimal fetch counts.
+    n_warm = 1 if (on_cpu or tpu_degraded) else 2
+    n_single = 3 if on_cpu else (4 if tpu_degraded else 12)
     n_batched = 2 if on_cpu else 6
     chain_reps = 3 if on_cpu else 20
     deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "420" if on_cpu else "3000"))
@@ -90,6 +110,8 @@ def main() -> None:
     photo = imageio.encode_jpeg(img, quality=80)
 
     detail: dict = {"platform": devices[0].platform, "sections_skipped": []}
+    if tpu_degraded:
+        detail["tunnel"] = "degraded"
 
     # ---- warmup (compile; persistent cache makes reruns fast)
     t0 = time.time()
@@ -98,7 +120,9 @@ def main() -> None:
         assert result["success"], result.get("error")
     log(f"warmup: {time.time() - t0:.1f}s")
 
-    # ---- single-image e2e latency/throughput
+    # ---- single-image e2e latency/throughput (per-iteration deadline break:
+    # on a degraded tunnel one fetch can stall minutes; the headline must
+    # still print from however many samples completed)
     latencies = []
     t0 = time.time()
     for _ in range(n_single):
@@ -106,8 +130,11 @@ def main() -> None:
         result = service.restore(photo, options={"model": "restore-unet"})
         assert result["success"]
         latencies.append((time.time() - t) * 1000)
+        if out_of_time():
+            log(f"single section: deadline after {len(latencies)} samples")
+            break
     wall = time.time() - t0
-    e2e_ips = n_single / wall
+    e2e_ips = len(latencies) / wall
     lat = np.asarray(latencies)
     detail["p50_ms"] = round(float(np.percentile(lat, 50)), 1)
     detail["p95_ms"] = round(float(np.percentile(lat, 95)), 1)
@@ -120,7 +147,7 @@ def main() -> None:
     canvas = np.repeat(img[None], cfg.max_batch, axis=0)
     valid = np.tile(np.asarray([[512, 512]], np.int32), (cfg.max_batch, 1))
     jpeg_f = np.ones((cfg.max_batch,), np.float32)
-    if not out_of_time():
+    if not out_of_time() and not tpu_degraded:
         engine.restore_batch(canvas, valid, jpeg_f, "restore-unet")  # warm batch-8
         t0 = time.time()
         for _ in range(n_batched):
@@ -232,8 +259,8 @@ def main() -> None:
     # the boot-warmup story (engine.warmup_serving / SERVE_WARMUP_FAMILIES) is
     # measured, not asserted. Skipped entirely on CPU fallback (a cold compile
     # cascade there blows any sane driver timeout); budget-bounded on TPU.
-    if on_cpu and os.environ.get("BENCH_FORCE_FAMILIES", "0") != "1":
-        log("family bench: skipped on CPU fallback")
+    if (on_cpu or tpu_degraded) and os.environ.get("BENCH_FORCE_FAMILIES", "0") != "1":
+        log("family bench: skipped (CPU fallback or degraded tunnel)")
         return
     budget_s = float(os.environ.get("BENCH_FAMILY_BUDGET_S", "1200"))
     t_budget = time.time()
