@@ -58,6 +58,32 @@ def attribute_gate_failures(failed_nodes, fam):
     return mine
 
 
+def compare_metrics(shipped: dict, staged: dict, tolerance: float):
+    """(regressions, improvements) between two metric dicts.
+
+    Worst-image axes (keys ending ``worst_mad``) are max statistics over a
+    small corpus (n=16): one image's rounding flips them by ~0.5/255 between
+    statistically identical candidates, so they get double tolerance
+    (2026-08-19: a rebalance improving FIVE axes incl. halving the
+    real-corpus worst harm 20.8 -> 16.7 was HOLD'd by a 0.62/255 bump of the
+    procedural corpus's single worst image). Mean axes keep the strict
+    tolerance — the round-4 regression lesson was a MEAN harm regression and
+    still blocks.
+    """
+    regressions, improvements = {}, {}
+    for k, old in shipped.items():
+        new = staged.get(k)
+        if new is None:
+            continue
+        tol = tolerance * (2.0 if k.endswith("worst_mad") else 1.0)
+        delta = new - old
+        if delta < -tol:
+            regressions[k] = {"shipped": round(old, 2), "staged": round(new, 2)}
+        elif delta > tol:
+            improvements[k] = {"shipped": round(old, 2), "staged": round(new, 2)}
+    return regressions, improvements
+
+
 def _run_eval(script_args, weights_dir):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     if weights_dir is not None:
@@ -177,26 +203,7 @@ def main() -> None:
         if fam == "restore-unet":
             shipped.update(shipped_f)
             staged.update(staged_f)
-        regressions = {}
-        improvements = {}
-        for k, old in shipped.items():
-            new = staged.get(k)
-            if new is None:
-                continue
-            # worst-image axes are max statistics over a small corpus (n=16):
-            # one image's rounding flips them by ~0.5/255 between candidates
-            # that are statistically identical, so they get double tolerance.
-            # (2026-08-19: a rebalance improving FIVE axes incl. halving the
-            # real-corpus worst harm 20.8 -> 16.7 was HOLD'd by a 0.62/255
-            # bump of the procedural corpus's single worst image.) Mean axes
-            # keep the strict tolerance — the round-4 regression lesson was a
-            # MEAN harm regression and still blocks.
-            tol = args.tolerance * (2.0 if k.endswith("worst_mad") else 1.0)
-            delta = new - old
-            if delta < -tol:
-                regressions[k] = {"shipped": round(old, 2), "staged": round(new, 2)}
-            elif delta > tol:
-                improvements[k] = {"shipped": round(old, 2), "staged": round(new, 2)}
+        regressions, improvements = compare_metrics(shipped, staged, args.tolerance)
         fam_failures = attribute_gate_failures(failed_nodes, fam)
         gates_green = gates_ran and not fam_failures
         verdict = "PROMOTE" if gates_green and not regressions else "HOLD"

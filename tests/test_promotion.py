@@ -76,3 +76,38 @@ class TestGateAttribution:
         assert vs.attribute_gate_failures(nodes, "sr-x4") == nodes
         assert vs.attribute_gate_failures(nodes, "sr-x2") == []
         assert vs.attribute_gate_failures(nodes, "restore-unet") == []
+
+
+class TestCompareMetrics:
+    def test_mean_axes_strict_tolerance(self):
+        vs = _load("validate_staging.py")
+        regs, imps = vs.compare_metrics(
+            {"photo": 5.0, "rich": 7.0}, {"photo": 4.4, "rich": 7.6}, 0.5
+        )
+        assert list(regs) == ["photo"] and list(imps) == ["rich"]
+
+    def test_worst_mad_axes_double_tolerance(self):
+        """Max statistics over a small corpus get 2x tolerance: the 0.62/255
+        worst-image bump that HOLD'd the 2026-08-19 flagship rebalance must
+        pass, while a genuine 1.2/255 worst regression still blocks."""
+        vs = _load("validate_staging.py")
+        regs, _ = vs.compare_metrics(
+            {"ood/clean_worst_mad": -9.64}, {"ood/clean_worst_mad": -10.26}, 0.5
+        )
+        assert regs == {}
+        regs, _ = vs.compare_metrics(
+            {"ood/clean_worst_mad": -9.64}, {"ood/clean_worst_mad": -10.9}, 0.5
+        )
+        assert list(regs) == ["ood/clean_worst_mad"]
+
+    def test_mean_harm_axis_still_strict(self):
+        vs = _load("validate_staging.py")
+        regs, _ = vs.compare_metrics(
+            {"real/clean_mad": -4.6}, {"real/clean_mad": -5.3}, 0.5
+        )
+        assert list(regs) == ["real/clean_mad"]
+
+    def test_missing_axes_ignored(self):
+        vs = _load("validate_staging.py")
+        regs, imps = vs.compare_metrics({"a": 1.0}, {}, 0.5)
+        assert regs == {} and imps == {}
