@@ -3,11 +3,14 @@ from .stats import channel_stats, flat_variance
 from .resize import resize, resize_matrix
 from .tile import tile_image, blend_tiles, tile_grid
 from .deblur import deblur_canvas_batch, deblur_reference, select_hypothesis
+from .deblock import deblock_canvas_batch, deblock_reference
 
 __all__ = [
     "deblur_canvas_batch",
     "deblur_reference",
     "select_hypothesis",
+    "deblock_canvas_batch",
+    "deblock_reference",
     "conv3x3_clamped_u8",
     "gaussian_blur",
     "K_LAPLACIAN8",

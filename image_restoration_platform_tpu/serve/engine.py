@@ -189,7 +189,12 @@ class RestorationEngine:
         # (~0 dB on OOD defocus after 40k deconv-training steps); the spectrum
         # identifies it directly. Non-firing images pass through bit-identical.
         use_deblur = self.config.deblur
+        # JPEG deblocking runs BEFORE deblur: blocking artifacts suppress the
+        # deblur estimator's motion evidence, and its compression surcharge
+        # should see the post-deblock compression score (ops/deblock.py)
+        use_deblock = self.config.deblock
 
+        from ..ops.deblock import deblock_and_recondition as _deblock_and_recondition
         from ..ops.deblur import deblur_and_recondition as _deblur_and_recondition
 
         if family_name == "diffusion-restore":
@@ -198,9 +203,14 @@ class RestorationEngine:
                 scores, cond = batch_classify_and_condition(
                     canvas_u8.astype(jnp.float32), valid_hw, is_jpeg_f
                 )
+                stage_scores = scores
+                if use_deblock:
+                    canvas_u8, stage_scores, cond = _deblock_and_recondition(
+                        canvas_u8, valid_hw, is_jpeg_f, scores, cond
+                    )
                 if use_deblur:
                     canvas_u8, cond = _deblur_and_recondition(
-                        canvas_u8, valid_hw, is_jpeg_f, scores, cond
+                        canvas_u8, valid_hw, is_jpeg_f, stage_scores, cond
                     )
                 x = canvas_u8.astype(dtype) / dtype(255.0)
                 out = family.apply(
@@ -218,9 +228,14 @@ class RestorationEngine:
             scores, cond = batch_classify_and_condition(
                 canvas_u8.astype(jnp.float32), valid_hw, is_jpeg_f
             )
+            stage_scores = scores
+            if use_deblock:
+                canvas_u8, stage_scores, cond = _deblock_and_recondition(
+                    canvas_u8, valid_hw, is_jpeg_f, scores, cond
+                )
             if use_deblur:
                 canvas_u8, cond = _deblur_and_recondition(
-                    canvas_u8, valid_hw, is_jpeg_f, scores, cond
+                    canvas_u8, valid_hw, is_jpeg_f, stage_scores, cond
                 )
             x = canvas_u8.astype(dtype) / dtype(255.0)
             out = backbone(params, x, cond.astype(dtype), config=cfg)

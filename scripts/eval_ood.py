@@ -82,18 +82,23 @@ def main() -> None:
         raise SystemExit(1)
     params = W.load_params(template, path)
 
+    from image_restoration_platform_tpu.ops.deblock import deblock_and_recondition
     from image_restoration_platform_tpu.ops.deblur import deblur_and_recondition
 
     @jax.jit
     def serve(degraded):
         # mirror the engine's fused program (serve/engine.py:_build_program):
-        # u8 canvas -> classify -> spectral deblur -> re-condition -> backbone
+        # u8 canvas -> classify -> deblock -> spectral deblur -> re-condition
+        # -> backbone
         n = degraded.shape[0]
         valid = jnp.tile(jnp.asarray([[args.size, args.size]], jnp.int32), (n, 1))
         is_jpeg = jnp.ones((n,), jnp.float32)
         canvas_u8 = jnp.clip(jnp.round(degraded * 255.0), 0, 255).astype(jnp.uint8)
         scores, cond = batch_classify_and_condition(
             canvas_u8.astype(jnp.float32), valid, is_jpeg
+        )
+        canvas_u8, scores, cond = deblock_and_recondition(
+            canvas_u8, valid, is_jpeg, scores, cond
         )
         canvas_u8, cond = deblur_and_recondition(canvas_u8, valid, is_jpeg, scores, cond)
         x = canvas_u8.astype(jnp.bfloat16) / jnp.bfloat16(255.0)

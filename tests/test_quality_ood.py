@@ -37,18 +37,23 @@ def serve():
     template = family.init(jax.random.PRNGKey(0), family.config)
     params = W.load_params(template, path)
 
+    from image_restoration_platform_tpu.ops.deblock import deblock_and_recondition
     from image_restoration_platform_tpu.ops.deblur import deblur_and_recondition
 
     @jax.jit
     def fn(degraded):
         # mirror the engine's fused program (serve/engine.py:_build_program):
-        # u8 canvas -> classify -> spectral deblur -> re-condition -> backbone
+        # u8 canvas -> classify -> deblock -> spectral deblur -> re-condition
+        # -> backbone
         n, s = degraded.shape[0], degraded.shape[1]
         valid = jnp.tile(jnp.asarray([[s, s]], jnp.int32), (n, 1))
         is_jpeg = jnp.ones((n,), jnp.float32)
         canvas_u8 = jnp.clip(jnp.round(degraded * 255.0), 0, 255).astype(jnp.uint8)
         scores, cond = batch_classify_and_condition(
             canvas_u8.astype(jnp.float32), valid, is_jpeg
+        )
+        canvas_u8, scores, cond = deblock_and_recondition(
+            canvas_u8, valid, is_jpeg, scores, cond
         )
         canvas_u8, cond = deblur_and_recondition(canvas_u8, valid, is_jpeg, scores, cond)
         pred = family.apply(
@@ -69,7 +74,8 @@ _GATES = {
     "poisson_gaussian": 3.0,
     "defocus": -1.5,
     "motion": 0.0,  # spectral deblur stage (ops/deblur.py): was -1.5
-    "jpeg_q10_60": -1.5,
+    "jpeg_q10_60": -0.8,  # deblocking stage (ops/deblock.py): was -1.5;
+    # measured -0.45 aggregate on this fixture with the stage (-0.92 without)
     "vignette_low_light": 5.0,
     "chained": 1.0,
 }
