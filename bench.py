@@ -197,7 +197,9 @@ def main() -> None:
             detail["device_ms_per_image_b8"] = round(step_s / cfg.max_batch * 1000.0, 3)
             try:
                 flops = exe.cost_analysis()["flops"]
-                if not on_cpu and (engine.config.fold_w or engine.config.deblur):
+                if not on_cpu and (
+                    engine.config.fold_w or engine.config.deblur or engine.config.deblock
+                ):
                     # MFU must be MODEL-flops utilization, so count flops on a
                     # canonical program: (a) the W-folded program's
                     # phase-decomposed decoder makes XLA's flop count of the
@@ -211,7 +213,7 @@ def main() -> None:
                     # this machine; at worst one compile).
                     cfg_u = ServingConfig(
                         size_buckets=(512,), max_batch=cfg.max_batch,
-                        fold_w=False, deblur=False,
+                        fold_w=False, deblur=False, deblock=False,
                     )
                     eng_u = RestorationEngine(serving_config=cfg_u)
                     eng_u.restore_batch(canvas, valid, jpeg_f, "restore-unet")
