@@ -295,6 +295,26 @@ class RestorationEngine:
         cls._code_fp_cache = h.hexdigest()
         return cls._code_fp_cache
 
+    def _exec_key(self, tag, example_args: tuple):
+        """Cache signature for one compiled program: the builder tag, every
+        config flag that changes the program's STRUCTURE, and the arg
+        shapes/dtypes.
+
+        The fold flag changes the param tree shapes for the same tag+args,
+        so it must key both the in-memory and the disk cache — and so do
+        the gated serving stages (deblur/deblock), which add or remove
+        whole program segments. Omitting them let an engine configured with
+        deblur=False load a cached executable WITH the stage (found when a
+        stage-ablation A/B measured three byte-identical programs)."""
+        family_name = tag if isinstance(tag, str) else tag[1]
+        return (
+            tag,
+            ("fold_w", self._uses_folded(family_name)),
+            ("stages", self.config.deblur, self.config.deblock),
+        ) + tuple(
+            (tuple(a.shape), str(a.dtype)) for a in example_args if hasattr(a, "shape")
+        )
+
     def _aot_executable(self, tag, example_args: tuple, fn=None, params=None):
         """Compile (or load) the program ``tag`` for this exact arg signature.
 
@@ -303,11 +323,7 @@ class RestorationEngine:
         ``params`` default to the family program + family params.
         """
         family_name = tag if isinstance(tag, str) else tag[1]
-        # the fold flag changes the param tree shapes for the same tag+args,
-        # so it must key both the in-memory and the disk cache
-        key_sig = (tag, ("fold_w", self._uses_folded(family_name))) + tuple(
-            (tuple(a.shape), str(a.dtype)) for a in example_args if hasattr(a, "shape")
-        )
+        key_sig = self._exec_key(tag, example_args)
         # single-flight: exactly one thread compiles a given signature; the
         # rest block on its completion and read the cache. Without this, a
         # job retry whose first attempt timed out mid-compile launches a

@@ -83,6 +83,16 @@ class DataConfig:
     # out of the rich slice, and the rich family must keep >= a 10% share
     # (u in [0.90, 1.0)) or the in-distribution gain gates starve.
     smooth_share: float = 0.10
+    # compression-solo emphasis (round-5): with independent bernoulli-0.5
+    # activation per channel, "JPEG and nothing else" is ~0.8% of examples
+    # (0.5 * 0.5^6), so the backbone never learned the compression-dominant
+    # regime — measured: it HARMS jpeg-only inputs by ~-1 dB e2e even with
+    # the deblocking stage (docs/STATUS.md round-4, real corpus -1.38 dB).
+    # compression_solo forces that fraction of examples to a
+    # compression-ONLY active mask (strength still uniform, near-clean band
+    # still applies) and pins them to the real-DCT JPEG analog, so
+    # "deblock + ring-repair, change nothing else" becomes a common task.
+    compression_solo: float = 0.0
 
 
 def _random_clean(key, n, size, channels):
@@ -683,6 +693,15 @@ def _degrade(key, clean, cfg: DataConfig, protect=None):
     # kept fully clean so the model learns the identity on good inputs
     # (the reference's "good condition -> subtle enhancements only" contract)
     active = jax.random.bernoulli(keys[0], 0.5, (n, 7)).astype(jnp.float32)
+    solo = jnp.zeros((n, 1), jnp.float32)
+    if cfg.compression_solo > 0.0:
+        # compression-dominant emphasis: force a compression-only mask for
+        # this fraction so the jpeg-only regime stops being a 0.8% tail
+        solo = jax.random.bernoulli(
+            jax.random.fold_in(key, 41), cfg.compression_solo, (n, 1)
+        ).astype(jnp.float32)
+        comp_only = jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0])[None, :]
+        active = active * (1.0 - solo) + comp_only * solo
     keep_clean = jax.random.bernoulli(keys[6], cfg.clean_fraction, (n, 1)).astype(jnp.float32)
     # a near-clean band (tiny strengths) densely covers the identity regime,
     # so serving near-clean inputs satisfies the no-harm gate instead of being
@@ -783,6 +802,8 @@ def _degrade(key, clean, cfg: DataConfig, protect=None):
         s_on = (strength[:, 3] > 0.01)[:, None, None, None]
         p_dct = 0.75 if cfg.deconv else 0.5
         use_dct = jax.random.bernoulli(jax.random.fold_in(key, 24), p_dct, (n, 1, 1, 1))
+        # compression-solo rows model real JPEG uploads: always the DCT analog
+        use_dct = use_dct | (solo[:, :, None, None] > 0.0)
         x = jnp.where(use_dct & s_on, x_dct, x_blocky)
     else:
         x = x_blocky

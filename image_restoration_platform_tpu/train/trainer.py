@@ -81,6 +81,15 @@ class TrainConfig:
     data_smooth: bool = False
     # share of the clean mix the smooth family takes (DataConfig.smooth_share)
     data_smooth_share: float = 0.10
+    # fraction of examples kept fully clean (DataConfig.clean_fraction).
+    # Raised for SR top-ups: sr-x2 loses to nearest-neighbor on CLEAN
+    # downscales (round-4 open item #3) because only 15% of its training
+    # inputs were identity-regime
+    data_clean_fraction: float = 0.15
+    # round-5 compression-solo emphasis (DataConfig.compression_solo): the
+    # dejpeg residual — the backbone harms jpeg-ONLY inputs — is a
+    # distribution gap, not a capacity one (jpeg-only was a 0.8% tail)
+    data_compression_solo: float = 0.0
 
 
 def charbonnier(pred, target, eps):
@@ -275,8 +284,12 @@ class Trainer:
             grain=cfg.data_grain,
             smooth=cfg.data_smooth,
             smooth_share=cfg.data_smooth_share,
+            clean_fraction=cfg.data_clean_fraction,
+            compression_solo=cfg.data_compression_solo,
         )
-        self._data_cfg_rich = DataConfig(size=cfg.image_size, photo=False)
+        self._data_cfg_rich = DataConfig(
+            size=cfg.image_size, photo=False, clean_fraction=cfg.data_clean_fraction
+        )
         self._data_cfg_mild = DataConfig(
             size=cfg.image_size,
             photo=cfg.data_photo,
@@ -284,6 +297,8 @@ class Trainer:
             grain=cfg.data_grain,
             smooth=cfg.data_smooth,
             smooth_share=cfg.data_smooth_share,
+            clean_fraction=cfg.data_clean_fraction,
+            compression_solo=cfg.data_compression_solo,
         )
         self._mix_acc = 0.0
         self._mix_acc_mild = 0.0

@@ -54,12 +54,18 @@ def main() -> None:
     jpeg_f = np.ones((N,), np.float32)
 
     variants = {
-        "deblur1_fold1": ServingConfig(size_buckets=(S,), max_batch=N,
-                                       deblur=True, fold_w=True),
-        "deblur0_fold1": ServingConfig(size_buckets=(S,), max_batch=N,
-                                       deblur=False, fold_w=True),
-        "deblur0_fold0": ServingConfig(size_buckets=(S,), max_batch=N,
-                                       deblur=False, fold_w=False),
+        # shipping default: deblock + deblur gates + folded backbone
+        "full": ServingConfig(size_buckets=(S,), max_batch=N,
+                              deblur=True, deblock=True, fold_w=True),
+        # deblock ablated -> the quant-estimation gate's device cost
+        "deblock0": ServingConfig(size_buckets=(S,), max_batch=N,
+                                  deblur=True, deblock=False, fold_w=True),
+        # both stages ablated -> the spectral deblur probe's device cost
+        "stages0": ServingConfig(size_buckets=(S,), max_batch=N,
+                                 deblur=False, deblock=False, fold_w=True),
+        # canonical unfolded -> the fold's whole-program advantage
+        "unfolded": ServingConfig(size_buckets=(S,), max_batch=N,
+                                  deblur=False, deblock=False, fold_w=False),
     }
 
     results = {}
@@ -86,15 +92,18 @@ def main() -> None:
         }
         print(json.dumps({"variant": name, **results[name]}), flush=True)
 
-    if {"deblur1_fold1", "deblur0_fold1", "deblur0_fold0"} <= results.keys():
-        d1 = results["deblur1_fold1"]["step_ms"]
-        d0 = results["deblur0_fold1"]["step_ms"]
-        uf = results["deblur0_fold0"]["step_ms"]
-        print(f"\ndeblur probe device cost : {d1 - d0:6.2f} ms/step "
-              f"({(d1 - d0) / N:.3f} ms/img)", flush=True)
-        print(f"fold whole-program gain  : {uf / d0:6.2f}x "
-              f"({uf:.2f} -> {d0:.2f} ms/step, no deblur)", flush=True)
-        print(f"serving default ms/img   : {d1 / N:6.3f}", flush=True)
+    if {"full", "deblock0", "stages0", "unfolded"} <= results.keys():
+        fu = results["full"]["step_ms"]
+        k0 = results["deblock0"]["step_ms"]
+        s0 = results["stages0"]["step_ms"]
+        uf = results["unfolded"]["step_ms"]
+        print(f"\ndeblock gate device cost : {fu - k0:6.2f} ms/step "
+              f"({(fu - k0) / N:.3f} ms/img)", flush=True)
+        print(f"deblur probe device cost : {k0 - s0:6.2f} ms/step "
+              f"({(k0 - s0) / N:.3f} ms/img)", flush=True)
+        print(f"fold whole-program gain  : {uf / s0:6.2f}x "
+              f"({uf:.2f} -> {s0:.2f} ms/step, no stages)", flush=True)
+        print(f"serving default ms/img   : {fu / N:6.3f}", flush=True)
 
 
 if __name__ == "__main__":

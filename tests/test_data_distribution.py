@@ -220,3 +220,42 @@ def test_mix_mild_interleave_fractions():
     # last step, so the short-horizon count is fraction-exact within 1
     assert 15 <= n_mild <= 16, f"mild {n_mild}/40 (wanted 0.4 within 1)"
     assert n_deconv == 40 - n_rich - n_mild, f"deconv {n_deconv}/40"
+
+
+def test_compression_solo_emphasis():
+    """Round-5 dejpeg emphasis: with independent bernoulli-0.5 activation,
+    compression-and-nothing-else is a ~0.8% tail — the backbone never
+    learned the compression-dominant regime and HARMS jpeg-only inputs
+    (docs/STATUS.md round-4: -1.38 dB real-corpus e2e even with the
+    deblocking stage). ``compression_solo`` forces that fraction of
+    examples to a compression-only active mask."""
+    cfg = DataConfig(size=32, photo=True, clean_fraction=0.0, compression_solo=0.4)
+    clean = jnp.full((512, 32, 32, 3), 0.5, jnp.float32)
+    protect = jnp.zeros((512, 1), jnp.float32)
+    _, s = _degrade(jax.random.PRNGKey(11), clean, cfg, protect=protect)
+    s = np.asarray(s)
+    comp_only = (s[:, 3] > 0) & (np.abs(s[:, [0, 1, 2, 4, 5, 6]]).max(axis=1) == 0)
+    frac = comp_only.mean()
+    # 0.4 solo share minus the rows the near-clean/keep-clean bands zero out
+    assert frac > 0.20, f"compression-only fraction {frac:.3f}, want > 0.20"
+
+    cfg_off = DataConfig(size=32, photo=True, clean_fraction=0.0)
+    _, s_off = _degrade(jax.random.PRNGKey(11), clean, cfg_off, protect=protect)
+    s_off = np.asarray(s_off)
+    comp_only_off = (s_off[:, 3] > 0) & (
+        np.abs(s_off[:, [0, 1, 2, 4, 5, 6]]).max(axis=1) == 0
+    )
+    assert comp_only_off.mean() < 0.05, "baseline solo fraction should be a tail"
+
+
+def test_compression_solo_off_is_identity():
+    """compression_solo=0 must not perturb the RNG stream: the default
+    distribution every shipped family was trained on stays bit-identical."""
+    cfg_off = DataConfig(size=32, photo=True, clean_fraction=0.0)
+    cfg_zero = DataConfig(size=32, photo=True, clean_fraction=0.0, compression_solo=0.0)
+    clean = jnp.full((64, 32, 32, 3), 0.5, jnp.float32)
+    protect = jnp.zeros((64, 1), jnp.float32)
+    x1, s1 = _degrade(jax.random.PRNGKey(3), clean, cfg_off, protect=protect)
+    x2, s2 = _degrade(jax.random.PRNGKey(3), clean, cfg_zero, protect=protect)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))

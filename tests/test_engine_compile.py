@@ -87,3 +87,28 @@ def test_warmup_serving_covers_every_surface(tmp_path, monkeypatch):
     assert engine.compile_count == compiles_after_warm, (
         "a warmed surface recompiled in-request"
     )
+
+
+def test_exec_cache_key_includes_stage_flags():
+    """The executable cache signature must change when a gated serving stage
+    (deblur/deblock) or the fold flag flips: those flags add/remove whole
+    program segments for the SAME tag and arg shapes. Round-5 regression —
+    the key omitted the stage flags, so a stage-ablation A/B loaded one
+    cached executable for all three variants (byte-identical timings) and,
+    worse, an engine configured with deblur=False would serve a cached
+    program WITH the stage."""
+    import numpy as np
+
+    args = (np.zeros((2, 32, 32, 3), np.uint8),)
+    keys = set()
+    for deblur in (False, True):
+        for deblock in (False, True):
+            for fold in (False, True):
+                engine = RestorationEngine(
+                    serving_config=ServingConfig(
+                        size_buckets=(32,), max_batch=2,
+                        deblur=deblur, deblock=deblock, fold_w=fold,
+                    )
+                )
+                keys.add(engine._exec_key("restore-unet", args))
+    assert len(keys) == 8, f"expected 8 distinct cache keys, got {len(keys)}"
