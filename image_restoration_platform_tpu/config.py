@@ -131,13 +131,22 @@ class ServingConfig:
     fairness_age_ms: float = field(default_factory=lambda: _env_float("SERVE_FAIRNESS_AGE_MS", 50.0))
     # serve the UNet families in the W-folded layout (models/folded.py).
     # Width-pairs fold into lanes so small-channel convs fill the MXU — an
-    # exact weight reparameterization that halves per-conv time (17% -> 68%
-    # MFU on the full-res level). With the round-3 fold-preserving decoder
-    # upsample the layout survives the whole decoder and the fold wins
-    # whole-program on chip: 18.65 vs 22.28 ms/step at 512px b8 (2.33 vs
-    # 2.79 ms/img, 1.19x; scripts/measure_unet_fold.py, v5e 2026-08-18),
-    # so it now defaults ON; see models/folded.py for per-conv measurements
-    fold_w: bool = field(default_factory=lambda: _env_int("SERVE_FOLD_W", 1) == 1)
+    # exact weight reparameterization that halves per-conv time in isolation
+    # (17% -> 68% MFU on the full-res level). Whole-program, however, the
+    # DEVICE-CLOCK A/B (scripts/measure_step_profiled.py, chip event times
+    # via parse_xplane — immune to tunnel-degraded host timing) measures the
+    # fold as a net LOSS on the flagship serving program: 22.53 folded vs
+    # 20.96 unfolded ms/step at 512px b8 (v5e, 2026-08-19) — the folded
+    # program's main fusion time is no longer lower (14.27 vs 13.96 ms) and
+    # it pays ~1.8 ms of conv-bitcast relayouts + ~0.9 ms extra copies at
+    # the fold boundaries. The earlier 1.19x host-timed win (2026-08-18,
+    # measure_unet_fold.py) is superseded: host chain-differencing is
+    # unreliable under tunnel degradation, and the stage-ablation A/B that
+    # exposed this also found the executable cache was conflating stage
+    # configs (engine._exec_key). Default OFF for the UNet families;
+    # per-conv numbers in models/folded.py remain valid for the folded
+    # SRNet path below.
+    fold_w: bool = field(default_factory=lambda: _env_int("SERVE_FOLD_W", 0) == 1)
     # W-fold for the SR families: SRNet is the ideal fold case (pure stride-1
     # conv chain, no stats/attention boundaries), so its fold is a clean
     # ~1.9x on device time and defaults on

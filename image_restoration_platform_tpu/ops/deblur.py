@@ -373,14 +373,31 @@ def select_hypothesis(
     )
     mot_ok = (m_corr >= CORR_MOTION_MIN) & (m_nc >= m_req)
 
-    # directional-gradient veto (crops reused; percentile over all 4 crops)
+    # directional-gradient veto (crops reused; percentile over all 4 crops).
+    # Gated under lax.cond on the spectral pre-pass: the ratio only matters
+    # for rows where mot_ok is already true, and on clean traffic no row
+    # passes the spectral gates — so the common path skips the veto's two
+    # q=99 order statistics entirely (lax.top_k still lowers to a ~full
+    # per-row sort on v5e: 0.95 ms/step for f32[8,65536]x2 measured via
+    # parse_xplane 2026-08-19 even after the top_k rewrite). When any row
+    # fires, the taken branch computes the identical exact veto.
     ang = jnp.asarray(angles)[best_mot]  # [B]
-    gy, gx = jnp.gradient(crops, axis=(2, 3))
-    cos_a = jnp.cos(ang)[:, None, None, None]
-    sin_a = jnp.sin(ang)[:, None, None, None]
-    g_along = jnp.abs(gx * cos_a + gy * sin_a).reshape(crops.shape[0], -1)
-    g_perp = jnp.abs(-gx * sin_a + gy * cos_a).reshape(crops.shape[0], -1)
-    ratio = _percentile_high(g_along, 99.0) / (_percentile_high(g_perp, 99.0) + 1e-8)
+
+    def _dir_ratio(operands):
+        crops_, ang_ = operands
+        gy, gx = jnp.gradient(crops_, axis=(2, 3))
+        cos_a = jnp.cos(ang_)[:, None, None, None]
+        sin_a = jnp.sin(ang_)[:, None, None, None]
+        g_along = jnp.abs(gx * cos_a + gy * sin_a).reshape(crops_.shape[0], -1)
+        g_perp = jnp.abs(-gx * sin_a + gy * cos_a).reshape(crops_.shape[0], -1)
+        return _percentile_high(g_along, 99.0) / (_percentile_high(g_perp, 99.0) + 1e-8)
+
+    ratio = jax.lax.cond(
+        jnp.any(mot_ok),
+        _dir_ratio,
+        lambda operands: jnp.zeros((crops.shape[0],), crops.dtype),
+        (crops, ang),
+    )
     mot_ok = mot_ok & (ratio <= DIR_RATIO_MAX)
 
     pick_mot = mot_ok & (~disk_ok | (m_nc > d_nc))
