@@ -163,6 +163,15 @@ class ServingConfig:
     # and -2.55 -> -1.38 dB (real corpus), zero movement on every other class
     # and on cleans (168-image false-fire audit: none); bit-identical off-fire
     deblock: bool = field(default_factory=lambda: _env_int("SERVE_DEBLOCK", 1) == 1)
+    # space-to-depth IO for the space-to-depth-stem UNet families (unfolded
+    # path): the global residual add happens in s2d layout and the single
+    # depth-to-space permutation runs on the final uint8 tensor, so no
+    # full-resolution bf16 [N,H,W,3] tensor exists in the serving program.
+    # Those tensors use 3 of 128 TPU lanes; the 2026-08-19 per-op profile
+    # attributes ~2 ms/step at 512px b8 to their layout copies + conversions.
+    # Value-exact (f32 byte-identical; bf16 <=1 byte level from XLA's
+    # graph-shape-dependent re-fusion rounding; tests/test_engine_s2d_io.py)
+    s2d_io: bool = field(default_factory=lambda: _env_int("SERVE_S2D_IO", 1) == 1)
 
 
 @dataclass

@@ -259,6 +259,19 @@ def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
     return x.reshape(n, h * r, w * r, out_c)
 
 
+def space_to_depth(x: jax.Array, factor: int) -> jax.Array:
+    """Inverse of pixel_shuffle: [N,H,W,C] -> [N,H/r,W/r,C*r^2].
+
+    Channel order is (ph, pw, c) ph-major — the same order pixel_shuffle
+    consumes, so ``pixel_shuffle(space_to_depth(x, r), r) == x`` and a
+    residual computed pre-shuffle aligns channel-for-channel with the
+    space-to-depth of the full-res input (serve/engine.py s2d_io path)."""
+    n, h, w, c = x.shape
+    s = factor
+    x = x.reshape(n, h // s, s, w // s, s, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // s, w // s, s * s * c)
+
+
 def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
     return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)
 

@@ -156,10 +156,7 @@ def init(key: jax.Array, config: UNetConfig = UNetConfig()) -> dict:
     return params
 
 
-def _space_to_depth(x: jax.Array, s: int) -> jax.Array:
-    n, h, w, c = x.shape
-    x = x.reshape(n, h // s, s, w // s, s, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // s, w // s, s * s * c)
+_space_to_depth = nn.space_to_depth
 
 
 def apply(
@@ -168,11 +165,23 @@ def apply(
     cond: jax.Array,
     t: jax.Array | None = None,
     config: UNetConfig = UNetConfig(),
+    s2d_io: bool = False,
 ) -> jax.Array:
     """Forward pass: x [N,H,W,3] in [0,1], cond [N,cond_dim] -> restored [N,H,W,3].
 
     H and W must be divisible by 2**(len(channel_mults)-1); the serving layer
     guarantees this via size bucketing (config.serving.size_buckets).
+
+    ``s2d_io=True`` (requires input_scale > 1 and in_channels == out_channels):
+    x is already in space-to-depth layout [N, H/s, W/s, 3*s^2] and the return
+    stays in that layout — the caller applies the single u8 depth-to-space
+    permutation after quantization. Value-exact vs the standard path
+    (space_to_depth is a permutation and the stem consumes the same numbers;
+    the global residual's (ph, pw, c) channel order matches the head conv's
+    pixel-shuffle order, see nn.space_to_depth). This keeps every
+    full-resolution tensor in the serving program uint8: the bf16 [N,H,W,3]
+    ingress/egress tensors use 3 of 128 TPU lanes and cost ~2 ms/step in
+    layout copies + conversions at 512px b8 (parse_xplane 2026-08-19).
     """
     c = config
     dtype = x.dtype
@@ -188,7 +197,12 @@ def apply(
     emb = nn.silu(emb)
     emb = nn.dense(params["cond_mlp2"], emb)
 
-    x_in = _space_to_depth(x, c.input_scale) if c.input_scale > 1 else x
+    if s2d_io:
+        if c.input_scale <= 1 or c.in_channels != c.out_channels:
+            raise ValueError("s2d_io requires input_scale > 1 and in == out channels")
+        x_in = x  # already [N, H/s, W/s, in_channels * s^2]
+    else:
+        x_in = _space_to_depth(x, c.input_scale) if c.input_scale > 1 else x
     h = nn.conv2d(params["stem"], x_in)
 
     skips = []
@@ -219,12 +233,17 @@ def apply(
     h = nn.group_norm(params["head_norm"], h, c.norm_groups)
     h = nn.silu(h)
     residual = nn.conv2d(params["head"], h)
-    if c.input_scale > 1:
+    if c.input_scale > 1 and not s2d_io:
         residual = nn.pixel_shuffle(residual, c.input_scale)
     # global residual over the first out_channels of the input — when the
     # input carries extra conditioning channels (image-conditioned diffusion,
-    # in_channels > out_channels), the skip applies to the target slice only
-    base = x if x.shape[-1] == c.out_channels else x[..., : c.out_channels]
+    # in_channels > out_channels), the skip applies to the target slice only.
+    # In s2d_io mode the head conv's output channel order (ph, pw, c) matches
+    # space_to_depth's, so base = x adds the identical pixel pairs.
+    if s2d_io:
+        base = x
+    else:
+        base = x if x.shape[-1] == c.out_channels else x[..., : c.out_channels]
     if c.residual_shrink > 0.0:
         r = residual.astype(jnp.float32)
         residual = jnp.sign(r) * jnp.maximum(jnp.abs(r) - c.residual_shrink, 0.0)

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..config import ServingConfig
 from ..models import get_family, ParamCache
+from ..models import nn as mnn
 from ..obs.tracing import device_trace, get_tracer
 from ..parallel.mesh import AXIS_DATA
 from ..parallel.sharding import activation_sharding, batch_sharding, shard_params
@@ -130,6 +131,19 @@ class RestorationEngine:
             "diffusion-restore",
         )
 
+    def _uses_s2d_io(self, family_name: str) -> bool:
+        """Space-to-depth IO (config.py s2d_io): only meaningful for the
+        unfolded space-to-depth-stem UNet families with a pure-RGB residual
+        (in == out channels). The folded path has its own layout pipeline."""
+        if self._uses_folded(family_name) or not self.config.s2d_io:
+            return False
+        cfg = get_family(family_name).config
+        return (
+            getattr(cfg, "input_scale", 1) > 1
+            and getattr(cfg, "in_channels", 0) == getattr(cfg, "out_channels", -1)
+            and not getattr(cfg, "time_conditioned", False)
+        )
+
     def _sr_apply(self, family_name: str):
         """The SR forward matching what _params returns for this family."""
         if self._uses_folded(family_name):
@@ -223,6 +237,15 @@ class RestorationEngine:
             return jax.jit(program)
 
         backbone = folded.apply if use_folded else family.apply
+        # space-to-depth IO (config.py s2d_io): convert + normalize AFTER the
+        # u8 space-to-depth permutation and quantize BEFORE the u8 depth-to-
+        # space, so the program carries no full-res bf16 [N,H,W,3] tensor
+        # (3/128 lane utilization; ~2 ms/step of copies at 512px b8).
+        # Value-exact: s2d is a permutation, the backbone consumes the same
+        # values, and the residual channel order matches (models/unet.py);
+        # f32 byte-identical, bf16 <=1 level (tests/test_engine_s2d_io.py)
+        use_s2d_io = self._uses_s2d_io(family_name)
+        s2d_scale = getattr(cfg, "input_scale", 1)
 
         def program(params, canvas_u8, valid_hw, is_jpeg_f):
             scores, cond = batch_classify_and_condition(
@@ -237,6 +260,12 @@ class RestorationEngine:
                 canvas_u8, cond = _deblur_and_recondition(
                     canvas_u8, valid_hw, is_jpeg_f, stage_scores, cond
                 )
+            if use_s2d_io:
+                x = mnn.space_to_depth(canvas_u8, s2d_scale).astype(dtype) / dtype(255.0)
+                out = backbone(params, x, cond.astype(dtype), config=cfg, s2d_io=True)
+                out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+                out_u8 = jnp.round(out * 255.0).astype(jnp.uint8)
+                return mnn.pixel_shuffle(out_u8, s2d_scale), scores
             x = canvas_u8.astype(dtype) / dtype(255.0)
             out = backbone(params, x, cond.astype(dtype), config=cfg)
             out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
@@ -311,6 +340,7 @@ class RestorationEngine:
             tag,
             ("fold_w", self._uses_folded(family_name)),
             ("stages", self.config.deblur, self.config.deblock),
+            ("s2d_io", self._uses_s2d_io(family_name)),
         ) + tuple(
             (tuple(a.shape), str(a.dtype)) for a in example_args if hasattr(a, "shape")
         )
