@@ -172,6 +172,17 @@ class ServingConfig:
     # Value-exact (f32 byte-identical; bf16 <=1 byte level from XLA's
     # graph-shape-dependent re-fusion rounding; tests/test_engine_s2d_io.py)
     s2d_io: bool = field(default_factory=lambda: _env_int("SERVE_S2D_IO", 1) == 1)
+    # restore-path device egress: "yuv420" emits (Y, Cb, Cr) u8 planes from
+    # the fused program — 1.5 B/px device->host instead of 3 B/px RGB — and
+    # libjpeg consumes them raw (no host colorspace conversion). Same design
+    # the tiled-SR path ships for the 2K->4K wall (BASELINE config 3); on the
+    # ~34 MB/s v5e tunnel the 512px RGB fetch is ~23 ms of a ~94 ms single-
+    # request p50. Output JPEGs become 4:2:0-subsampled (the web/camera
+    # default) instead of 4:4:4; the restorator falls back to RGB whenever a
+    # host resize is needed afterwards or the native codec is unavailable
+    restore_egress: str = field(
+        default_factory=lambda: os.environ.get("SERVE_RESTORE_EGRESS", "yuv420")
+    )
 
 
 @dataclass

@@ -86,9 +86,14 @@ class MicroBatcher:
         valid_hw: tuple[int, int],
         is_jpeg: bool,
         family: str,
+        egress: str = "rgb",
     ) -> tuple[np.ndarray, np.ndarray, dict]:
-        """Blocking submit; returns (restored_canvas, scores[7], engine_meta)."""
-        key = (family, canvas.shape[0], canvas.shape[1])
+        """Blocking submit; returns (restored_canvas, scores[7], engine_meta).
+        With egress="yuv420" the first element is this request's (Y, Cb, Cr)
+        u8 plane tuple (engine.restore_batch egress). Egress is part of the
+        batch key: a batch runs one compiled program, so requests wanting
+        planes and requests wanting RGB cannot share a launch."""
+        key = (family, canvas.shape[0], canvas.shape[1], egress)
         pending = _Pending(canvas, np.asarray(valid_hw, np.int32), bool(is_jpeg), Future())
         with self._cv:
             if not self._running:
@@ -203,14 +208,16 @@ class MicroBatcher:
             if not batch:
                 self._slots.release()
                 continue
-            family = key[0]
+            family, egress = key[0], key[3]
             imgs = np.stack([p.canvas for p in batch], axis=0)
             valid_hw = np.stack([p.valid_hw for p in batch], axis=0)
             is_jpeg = np.asarray([p.is_jpeg for p in batch], dtype=np.float32)
             try:
                 # stage + launch WITHOUT waiting: the fetch happens on the
                 # collector thread while this thread forms the next batch
-                fetch = self.engine.restore_batch_async(imgs, valid_hw, is_jpeg, family)
+                fetch = self.engine.restore_batch_async(
+                    imgs, valid_hw, is_jpeg, family, egress
+                )
             except Exception as error:  # noqa: BLE001 - batch failure isolation
                 self.logger.error("Batch dispatch failed", {"family": family, "error": str(error)})
                 self._slots.release()
@@ -238,7 +245,11 @@ class MicroBatcher:
                 counters.inc("device_seconds_total", meta.get("deviceSeconds", 0.0))
                 counters.gauge("last_batch_size", len(batch))
                 for i, pending in enumerate(batch):
-                    pending.future.set_result((outs[i], scores[i], dict(meta)))
+                    if isinstance(outs, tuple):  # yuv420 plane egress
+                        out_i = (outs[0][i], outs[1][i], outs[2][i])
+                    else:
+                        out_i = outs[i]
+                    pending.future.set_result((out_i, scores[i], dict(meta)))
             except Exception as error:  # noqa: BLE001 - batch failure isolation
                 self.logger.error("Batch fetch failed", {"family": family, "error": str(error)})
                 for pending in batch:

@@ -174,9 +174,17 @@ class RestorationEngine:
 
     # ----------------------------------------------------------- programs
 
-    def _build_program(self, family_name: str):
+    def _build_program(self, family_name: str, egress: str = "rgb"):
         """One fused XLA program per family: masked classify -> conditioning
-        -> backbone -> byte conversion, single launch (classify/fused.py)."""
+        -> backbone -> byte conversion, single launch (classify/fused.py).
+
+        ``egress="yuv420"`` (standard restore families only): the program
+        emits ((Y, Cb, Cr) u8 planes, scores) instead of (RGB u8, scores) —
+        1.5 B/px device->host instead of 3 B/px, and libjpeg consumes the
+        planes raw (imageio.encode_jpeg_ycbcr420), skipping the host
+        colorspace conversion. Same fast-egress design the tiled-SR path
+        ships (BASELINE config 3); the restore path's D2H is ~25% of single-
+        request latency on the v5e tunnel."""
         from ..classify.fused import batch_classify_and_condition
 
         family = get_family(family_name)
@@ -263,21 +271,26 @@ class RestorationEngine:
             if use_s2d_io:
                 x = mnn.space_to_depth(canvas_u8, s2d_scale).astype(dtype) / dtype(255.0)
                 out = backbone(params, x, cond.astype(dtype), config=cfg, s2d_io=True)
+                if egress == "yuv420":
+                    return self._to_yuv420_s2d(out), scores
                 out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
                 out_u8 = jnp.round(out * 255.0).astype(jnp.uint8)
                 return mnn.pixel_shuffle(out_u8, s2d_scale), scores
             x = canvas_u8.astype(dtype) / dtype(255.0)
             out = backbone(params, x, cond.astype(dtype), config=cfg)
             out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+            if egress == "yuv420":
+                return jax.vmap(self._to_yuv420)(out * 255.0), scores
             return jnp.round(out * 255.0).astype(jnp.uint8), scores
 
         return jax.jit(program)
 
-    def _compiled_fn(self, family_name: str):
+    def _compiled_fn(self, family_name: str, egress: str = "rgb"):
+        key = family_name if egress == "rgb" else ("prog", family_name, egress)
         with self._lock:
-            if family_name not in self._compiled:
-                self._compiled[family_name] = self._build_program(family_name)
-            return self._compiled[family_name]
+            if key not in self._compiled:
+                self._compiled[key] = self._build_program(family_name, egress)
+            return self._compiled[key]
 
     # -------------------------------------------- executable disk cache
     #
@@ -390,7 +403,9 @@ class RestorationEngine:
         import os
         import pickle
 
-        fn = fn if fn is not None else self._compiled_fn(family_name)
+        tag = key_sig[0]
+        egress = "yuv420" if (isinstance(tag, tuple) and "yuv420" in tag) else "rgb"
+        fn = fn if fn is not None else self._compiled_fn(family_name, egress)
         params = params if params is not None else self._params(family_name)
 
         # Disk caching is TPU-only: XLA:CPU AOT results are machine-feature
@@ -477,14 +492,19 @@ class RestorationEngine:
         valid_hw: np.ndarray | None = None,
         is_jpeg: np.ndarray | None = None,
         family_name: str = "restore-unet",
+        egress: str = "rgb",
     ) -> tuple[np.ndarray, np.ndarray, dict]:
         """Fused classify+condition+restore step (synchronous).
 
         canvas_u8 [N,B,B,3] letterboxed byte canvases, valid_hw [N,2] the
         un-padded (h, w) per image, is_jpeg [N] container flags. Returns
-        (restored [N,B,B,3] u8, degradation scores [N,7], step metadata).
+        (restored [N,B,B,3] u8, degradation scores [N,7], step metadata);
+        with egress="yuv420" the first element is instead the plane tuple
+        (Y [N,B,B], Cb [N,B/2,B/2], Cr [N,B/2,B/2]) u8 (see _build_program).
         """
-        return self.restore_batch_async(canvas_u8, valid_hw, is_jpeg, family_name)()
+        return self.restore_batch_async(
+            canvas_u8, valid_hw, is_jpeg, family_name, egress
+        )()
 
     def restore_batch_async(
         self,
@@ -492,10 +512,12 @@ class RestorationEngine:
         valid_hw: np.ndarray | None = None,
         is_jpeg: np.ndarray | None = None,
         family_name: str = "restore-unet",
+        egress: str = "rgb",
     ):
         """Stage + dispatch the fused restore program WITHOUT waiting for the
         result; returns a fetch() closure that synchronizes and returns
-        (restored [N,B,B,3] u8, scores [N,7], meta).
+        (restored [N,B,B,3] u8, scores [N,7], meta) — or, with
+        egress="yuv420", ((Y, Cb, Cr) u8 plane batch, scores, meta).
 
         This is the host/device-overlap primitive (SURVEY.md section 7 "hard
         parts"): the micro-batcher dispatches batch N+1's H2D transfer and
@@ -533,6 +555,7 @@ class RestorationEngine:
         t0 = time.perf_counter()
         trace_label = f"restore/{family_name}/{canvas_u8.shape[1]}x{canvas_u8.shape[2]}b{bucket}"
         if family_name == "diffusion-restore":
+            egress = "rgb"  # the diffusion program has no plane egress
             with self._lock:
                 self._rng_key, step_key = jax.random.split(self._rng_key)
             args = (imgs_d, valid_hw, is_jpeg_f, step_key)
@@ -543,6 +566,8 @@ class RestorationEngine:
         # so a mesh deployment reuses serialized executables instead of
         # paying per-process compile storms (VERDICT round 1 weak #4)
         tag = family_name if not multi_device else ("mesh", family_name, self._mesh_key())
+        if egress == "yuv420":
+            tag = ("egress", family_name, "yuv420") if not multi_device else tag + ("yuv420",)
         executable = self._aot_executable(tag, args)
         out, scores = executable(params, *args)  # async dispatch
 
@@ -573,6 +598,9 @@ class RestorationEngine:
                 "batchOccupancy": n / bucket,
                 "family": family_name,
             }
+            if isinstance(out_h, tuple):  # yuv420 plane egress
+                planes = tuple(np.asarray(p)[:n] for p in out_h)
+                return planes, np.asarray(scores_h)[:n], meta
             return np.asarray(out_h)[:n], np.asarray(scores_h)[:n], meta
 
         return fetch
@@ -662,6 +690,31 @@ class RestorationEngine:
             "fetchSeconds": time.perf_counter() - t_fetch,
             "family": family_name,
         }
+
+    @staticmethod
+    def _to_yuv420_s2d(out_s2d: jax.Array):
+        """Space-to-depth-layout model output [N,h,w,12] f32 in [0,1] ->
+        batched (Y [N,2h,2w], Cb [N,h,w], Cr [N,h,w]) u8 planes, JPEG
+        full-range BT.601 with 2x2 box chroma subsampling.
+
+        The 2x2 chroma block of the full-res image IS one s2d pixel's four
+        (ph, pw) phase groups, and the BT.601 chroma transform is affine, so
+        the box-mean of per-pixel chroma equals the chroma of the phase-mean
+        RGB — planes come straight off the s2d tensor with no full-res
+        3-channel intermediate (the s2d_io design, config.py)."""
+        n, h, w, _ = out_s2d.shape
+        p = jnp.clip(out_s2d.astype(jnp.float32), 0.0, 1.0).reshape(n, h, w, 4, 3) * 255.0
+        r, g, b = p[..., 0], p[..., 1], p[..., 2]
+        y_ph = 0.299 * r + 0.587 * g + 0.114 * b  # [N,h,w,4] (ph, pw) order
+        y = y_ph.reshape(n, h, w, 2, 2).transpose(0, 1, 3, 2, 4).reshape(n, 2 * h, 2 * w)
+        rm, gm, bm = r.mean(axis=3), g.mean(axis=3), b.mean(axis=3)
+        cb = 128.0 - 0.168735892 * rm - 0.331264108 * gm + 0.5 * bm
+        cr = 128.0 + 0.5 * rm - 0.418687589 * gm - 0.081312411 * bm
+
+        def u8(v):
+            return jnp.round(jnp.clip(v, 0.0, 255.0)).astype(jnp.uint8)
+
+        return u8(y), u8(cb), u8(cr)
 
     @staticmethod
     def _to_yuv420(out_f32: jax.Array):

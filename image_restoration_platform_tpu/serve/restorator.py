@@ -144,9 +144,23 @@ class RestoratorService:
                 t = time.perf_counter()
                 canvas, (sh, sw), bucket = self._canonicalize(pixels)
                 is_jpeg = fmt == "jpeg"
+                # plane egress (1.5 B/px D2H + raw libjpeg consume) whenever
+                # the restored canvas goes straight to the JPEG encoder; a
+                # host resize afterwards needs RGB, as does the Pillow
+                # fallback codec (config.py restore_egress)
+                egress = (
+                    "yuv420"
+                    if (
+                        self.config.restore_egress == "yuv420"
+                        and family != "diffusion-restore"
+                        and (sh, sw) == pixels.shape[:2]
+                        and imageio.native_available()
+                    )
+                    else "rgb"
+                )
                 if self.batcher is not None:
                     restored_canvas, score_vec, engine_meta = self.batcher.submit(
-                        canvas, (sh, sw), is_jpeg, family
+                        canvas, (sh, sw), is_jpeg, family, egress
                     )
                 else:
                     out_batch, score_batch, engine_meta = self.engine.restore_batch(
@@ -154,8 +168,13 @@ class RestoratorService:
                         np.asarray([[sh, sw]], np.int32),
                         np.asarray([is_jpeg], np.float32),
                         family,
+                        egress,
                     )
-                    restored_canvas, score_vec = out_batch[0], score_batch[0]
+                    if egress == "yuv420":
+                        restored_canvas = tuple(p[0] for p in out_batch)
+                    else:
+                        restored_canvas = out_batch[0]
+                    score_vec = score_batch[0]
                 degradation = {
                     k: float(v) for k, v in zip(DEGRADATION_ORDER, score_vec)
                 }
@@ -177,9 +196,22 @@ class RestoratorService:
 
                 # host post: crop letterbox, restore native size (C++ Lanczos)
                 t = time.perf_counter()
-                restored = restored_canvas[:sh, :sw]
-                if (sh, sw) != pixels.shape[:2]:
-                    restored = imageio.resize_rgb8(restored, pixels.shape[:2])
+                if egress == "yuv420":
+                    # crop the planes (chroma = ceil-half; the canvas is
+                    # edge-padded, so a final odd chroma row/col averages the
+                    # edge pixel with its replica — the edge value itself)
+                    py, pcb, pcr = restored_canvas
+                    yuv_planes = (
+                        py[:sh, :sw],
+                        pcb[: (sh + 1) // 2, : (sw + 1) // 2],
+                        pcr[: (sh + 1) // 2, : (sw + 1) // 2],
+                    )
+                    restored = None
+                else:
+                    yuv_planes = None
+                    restored = restored_canvas[:sh, :sw]
+                    if (sh, sw) != pixels.shape[:2]:
+                        restored = imageio.resize_rgb8(restored, pixels.shape[:2])
                 timings["restore_ms"] = round((time.perf_counter() - t) * 1000, 3)
                 timings["total_ms"] = round((time.perf_counter() - start) * 1000, 3)
                 span.add_event(
@@ -196,11 +228,13 @@ class RestoratorService:
                 counters = get_counters()
                 counters.inc("restorations_total")
                 counters.inc("tpu_cost_usd", device_s * DEVICE_COST_PER_SECOND_USD)
+                if yuv_planes is not None:
+                    jpeg_out = imageio.encode_jpeg_ycbcr420(*yuv_planes, quality=85)
+                else:
+                    jpeg_out = imageio.encode_jpeg(restored, quality=85)
                 result = {
                     "success": True,
-                    "restoredImage": base64.b64encode(
-                        imageio.encode_jpeg(restored, quality=85)
-                    ).decode("ascii"),
+                    "restoredImage": base64.b64encode(jpeg_out).decode("ascii"),
                     "degradationAnalysis": degradation,
                     "enhancedPrompt": enhanced_prompt,
                     "timings": timings,
