@@ -9,10 +9,13 @@ jax.profiler.trace and reads MODULE DEVICE TIME from the chip's own event
 clocks (scripts/parse_xplane.summarize_xspace), which the tunnel cannot
 corrupt.
 
-Variants:
-  deblur1_fold1  the shipping default (SERVE_DEBLUR=1, SERVE_FOLD_W=1)
-  deblur0_fold1  deblur stage ablated -> the spectral probe's device cost
-  deblur0_fold0  canonical unfolded   -> the fold's whole-program advantage
+Variants (2026-08-19 default set: unfolded, stages on, s2d_io, gated veto):
+  default         the shipping default program, RGB egress
+  default_yuv420  plane egress (the restore path's shipping output mode)
+  s2d0            s2d_io ablated -> full-res bf16 ingress/egress copy tax
+  deblock0        deblock ablated -> the quant-estimation gate's device cost
+  stages0         both stages ablated -> the spectral probe's device cost
+  folded          W-folded whole-program (historical; loses, config.py)
 
 Prints one JSON line per variant and a summary; traces land under
 /tmp/irp_prof_steps/<variant>.
@@ -54,32 +57,35 @@ def main() -> None:
     jpeg_f = np.ones((N,), np.float32)
 
     variants = {
-        # shipping default: deblock + deblur gates + folded backbone
-        "full": ServingConfig(size_buckets=(S,), max_batch=N,
-                              deblur=True, deblock=True, fold_w=True),
+        # shipping default (2026-08-19 flip set): unfolded + stages +
+        # s2d_io + gated veto, RGB egress
+        "default": (ServingConfig(size_buckets=(S,), max_batch=N), "rgb"),
+        # plane egress -> the restore path's shipping output mode
+        "default_yuv420": (ServingConfig(size_buckets=(S,), max_batch=N), "yuv420"),
+        # s2d_io ablated -> the full-res bf16 ingress/egress copy tax
+        "s2d0": (ServingConfig(size_buckets=(S,), max_batch=N, s2d_io=False), "rgb"),
         # deblock ablated -> the quant-estimation gate's device cost
-        "deblock0": ServingConfig(size_buckets=(S,), max_batch=N,
-                                  deblur=True, deblock=False, fold_w=True),
+        "deblock0": (ServingConfig(size_buckets=(S,), max_batch=N, deblock=False), "rgb"),
         # both stages ablated -> the spectral deblur probe's device cost
-        "stages0": ServingConfig(size_buckets=(S,), max_batch=N,
-                                 deblur=False, deblock=False, fold_w=True),
-        # canonical unfolded -> the fold's whole-program advantage
-        "unfolded": ServingConfig(size_buckets=(S,), max_batch=N,
-                                  deblur=False, deblock=False, fold_w=False),
+        "stages0": (ServingConfig(size_buckets=(S,), max_batch=N,
+                                  deblur=False, deblock=False), "rgb"),
+        # folded whole-program (for the record; loses, config.py fold_w)
+        "folded": (ServingConfig(size_buckets=(S,), max_batch=N,
+                                 deblur=False, deblock=False, fold_w=True), "rgb"),
     }
 
     results = {}
-    for name, cfg in variants.items():
+    for name, (cfg, egress) in variants.items():
         engine = RestorationEngine(serving_config=cfg)
         t0 = time.time()
-        engine.restore_batch(canvas, valid, jpeg_f, "restore-unet")  # compile/warm
-        engine.restore_batch(canvas, valid, jpeg_f, "restore-unet")
+        engine.restore_batch(canvas, valid, jpeg_f, "restore-unet", egress)  # compile/warm
+        engine.restore_batch(canvas, valid, jpeg_f, "restore-unet", egress)
         warm_s = time.time() - t0
         tdir = os.path.join(TRACE_ROOT, name)
         shutil.rmtree(tdir, ignore_errors=True)
         with jax.profiler.trace(tdir):
             for _ in range(REPS):
-                engine.restore_batch(canvas, valid, jpeg_f, "restore-unet")
+                engine.restore_batch(canvas, valid, jpeg_f, "restore-unet", egress)
         payload = summarize_xspace(tdir, verbose=False)
         plane = next(iter(payload["planes"].values()))
         step_ms = plane["modules_ms"] / REPS
@@ -92,18 +98,24 @@ def main() -> None:
         }
         print(json.dumps({"variant": name, **results[name]}), flush=True)
 
-    if {"full", "deblock0", "stages0", "unfolded"} <= results.keys():
-        fu = results["full"]["step_ms"]
+    if {"default", "default_yuv420", "s2d0", "deblock0", "stages0", "folded"} <= results.keys():
+        df = results["default"]["step_ms"]
+        yv = results["default_yuv420"]["step_ms"]
+        s2 = results["s2d0"]["step_ms"]
         k0 = results["deblock0"]["step_ms"]
         s0 = results["stages0"]["step_ms"]
-        uf = results["unfolded"]["step_ms"]
-        print(f"\ndeblock gate device cost : {fu - k0:6.2f} ms/step "
-              f"({(fu - k0) / N:.3f} ms/img)", flush=True)
+        fo = results["folded"]["step_ms"]
+        print(f"\ns2d_io device gain       : {s2 - df:6.2f} ms/step "
+              f"({s2:.2f} -> {df:.2f})", flush=True)
+        print(f"yuv420 egress device cost: {yv - df:6.2f} ms/step", flush=True)
+        print(f"deblock gate device cost : {df - k0:6.2f} ms/step "
+              f"({(df - k0) / N:.3f} ms/img)", flush=True)
         print(f"deblur probe device cost : {k0 - s0:6.2f} ms/step "
               f"({(k0 - s0) / N:.3f} ms/img)", flush=True)
-        print(f"fold whole-program gain  : {uf / s0:6.2f}x "
-              f"({uf:.2f} -> {s0:.2f} ms/step, no stages)", flush=True)
-        print(f"serving default ms/img   : {fu / N:6.3f}", flush=True)
+        print(f"fold whole-program        : {fo / s0:6.2f}x vs unfolded "
+              f"({fo:.2f} vs {s0:.2f} ms/step, no stages)", flush=True)
+        print(f"serving default ms/img   : {df / N:6.3f} rgb / {yv / N:6.3f} yuv420",
+              flush=True)
 
 
 if __name__ == "__main__":
