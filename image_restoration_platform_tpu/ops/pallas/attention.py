@@ -21,10 +21,19 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-BQ = 256  # query block: f32 logits block [256, 4096] = 4 MB VMEM
+import os
+
+# Query block size and softmax-divide placement, overridable for the on-chip
+# autotune (scripts/measure_attention.py). BQ=256 -> f32 logits block
+# [256, 4096] = 4 MB VMEM. late_div defers the 1/sum normalization from the
+# [BQ, T] probability matrix to the [BQ, D] output (T/D = 64x fewer VPU
+# divides; exact up to bf16 rounding of the unnormalized probs, which like
+# the normalized ones live in (0, 1] after the max subtraction).
+BQ = int(os.environ.get("PALLAS_ATTN_BQ", "256"))
+LATE_DIV = os.environ.get("PALLAS_ATTN_LATE_DIV", "0") == "1"
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, late_div: bool):
     q = q_ref[0]  # [BQ, D] bf16
     k = k_ref[0]  # [T, D]
     v = v_ref[0]
@@ -38,21 +47,24 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=-1, keepdims=True)
-    probs = (p / s).astype(v.dtype)
+    probs = (p if late_div else p / s).astype(v.dtype)
     out = jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if late_div:
+        out = out / s
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _attention_nh(q, k, v, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "bq", "late_div"))
+def _attention_nh(q, k, v, interpret=False, bq=None, late_div=None):
     nh, t, d = q.shape
-    bq = min(BQ, t)
+    bq = min(bq or BQ, t)
+    late_div = LATE_DIV if late_div is None else late_div
     scale = 1.0 / math.sqrt(d)
     grid = (nh, t // bq)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, late_div=late_div),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
