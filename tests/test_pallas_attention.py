@@ -48,6 +48,23 @@ def test_gradients_match_naive():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("bq", [64, 128, 256])
+@pytest.mark.parametrize("late_div", [False, True])
+def test_variant_matrix_matches_naive(bq, late_div):
+    """Every (query block, divide placement) combination the on-chip autotune
+    (scripts/measure_attention.py) sweeps must stay exact vs naive XLA."""
+    from image_restoration_platform_tpu.ops.pallas.attention import _attention_nh
+
+    rng = np.random.default_rng(2)
+    shape = (4, 512, 64)  # [N*H, T, D]
+    q, k, v = (jnp.asarray(rng.normal(0, 1, shape), jnp.bfloat16) for _ in range(3))
+    got = _attention_nh(
+        q, k, v, interpret=jax.default_backend() == "cpu", bq=bq, late_div=late_div
+    ).astype(jnp.float32)
+    ref = naive(q[:, None], k[:, None], v[:, None])[:, 0].astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(got - ref))) < 0.02
+
+
 def test_odd_token_count_rejected():
     q = jnp.zeros((1, 1, 300, 8), jnp.float32)
     with pytest.raises(ValueError):
