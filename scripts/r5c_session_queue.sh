@@ -111,6 +111,15 @@ for chunk in 1 2 3; do
 done
 touch "$LOGDIR/srx2.done"
 
+# ---- phase 2b: attention kernel autotune (device clocks) --------------------
+if [ ! -e "$LOGDIR/attn.done" ] && [ "$(remain)" -gt 600 ]; then
+  if wait_alive; then
+    timeout 1800 python scripts/measure_attention.py > "$LOGDIR/attn.log" 2>&1
+    echo "rc=$?" >> "$LOGDIR/attn.log"
+  fi
+  touch "$LOGDIR/attn.done"
+fi
+
 # ---- phase 3: device-clock variant table (tunnel-immune) --------------------
 if [ ! -e "$LOGDIR/profiled.done" ] && [ "$(remain)" -gt 600 ]; then
   if wait_alive; then
