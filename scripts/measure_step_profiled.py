@@ -74,24 +74,38 @@ def main() -> None:
                                  deblur=False, deblock=False, fold_w=True), "rgb"),
     }
 
+    # batch-scaling probe: b16 amortizes fixed per-step costs (stage gates,
+    # small-tensor ops); if ms/img drops materially the batcher's
+    # max_batch default should follow.
+    N16 = 16
+    canvas16 = rng.integers(0, 256, (N16, S, S, 3), dtype=np.uint8)
+    valid16 = np.tile(np.asarray([[S, S]], np.int32), (N16, 1))
+    jpeg16 = np.ones((N16,), np.float32)
+    variants["default_b16"] = (
+        ServingConfig(size_buckets=(S,), max_batch=N16), "rgb")
+
     results = {}
     for name, (cfg, egress) in variants.items():
+        if name == "default_b16":
+            cv, vd, jf, nb = canvas16, valid16, jpeg16, N16
+        else:
+            cv, vd, jf, nb = canvas, valid, jpeg_f, N
         engine = RestorationEngine(serving_config=cfg)
         t0 = time.time()
-        engine.restore_batch(canvas, valid, jpeg_f, "restore-unet", egress)  # compile/warm
-        engine.restore_batch(canvas, valid, jpeg_f, "restore-unet", egress)
+        engine.restore_batch(cv, vd, jf, "restore-unet", egress)  # compile/warm
+        engine.restore_batch(cv, vd, jf, "restore-unet", egress)
         warm_s = time.time() - t0
         tdir = os.path.join(TRACE_ROOT, name)
         shutil.rmtree(tdir, ignore_errors=True)
         with jax.profiler.trace(tdir):
             for _ in range(REPS):
-                engine.restore_batch(canvas, valid, jpeg_f, "restore-unet", egress)
+                engine.restore_batch(cv, vd, jf, "restore-unet", egress)
         payload = summarize_xspace(tdir, verbose=False)
         plane = next(iter(payload["planes"].values()))
         step_ms = plane["modules_ms"] / REPS
         results[name] = {
             "step_ms": round(step_ms, 3),
-            "ms_per_img": round(step_ms / N, 4),
+            "ms_per_img": round(step_ms / nb, 4),
             "module_runs": plane["module_runs"],
             "reps": REPS,
             "warm_s": round(warm_s, 1),
