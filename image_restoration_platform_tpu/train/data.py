@@ -93,6 +93,13 @@ class DataConfig:
     # still applies) and pins them to the real-DCT JPEG analog, so
     # "deblock + ring-repair, change nothing else" becomes a common task.
     compression_solo: float = 0.0
+    # low-light-solo counterweight (2026-08-20): a compression_solo share
+    # displaces every other channel's coverage uniformly; the first axis to
+    # drift on chunked flagship top-ups was ood/vignette_low_light
+    # (13.19 -> 12.22 dB after one 4000-step chunk at comp_solo=0.3).
+    # lowlight_solo forces this fraction to a lowLight-only active mask so
+    # the brighten+denoise regime keeps its sampling density.
+    lowlight_solo: float = 0.0
 
 
 def _random_clean(key, n, size, channels):
@@ -702,6 +709,14 @@ def _degrade(key, clean, cfg: DataConfig, protect=None):
         ).astype(jnp.float32)
         comp_only = jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0])[None, :]
         active = active * (1.0 - solo) + comp_only * solo
+    if cfg.lowlight_solo > 0.0:
+        # low-light-only counterweight rows; drawn independently, and comp
+        # wins ties so the jpeg-only share stays exactly compression_solo
+        ll = jax.random.bernoulli(
+            jax.random.fold_in(key, 43), cfg.lowlight_solo, (n, 1)
+        ).astype(jnp.float32) * (1.0 - solo)
+        ll_only = jnp.asarray([0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0])[None, :]
+        active = active * (1.0 - ll) + ll_only * ll
     keep_clean = jax.random.bernoulli(keys[6], cfg.clean_fraction, (n, 1)).astype(jnp.float32)
     # a near-clean band (tiny strengths) densely covers the identity regime,
     # so serving near-clean inputs satisfies the no-harm gate instead of being

@@ -90,6 +90,8 @@ class TrainConfig:
     # dejpeg residual — the backbone harms jpeg-ONLY inputs — is a
     # distribution gap, not a capacity one (jpeg-only was a 0.8% tail)
     data_compression_solo: float = 0.0
+    # low-light-only counterweight share (DataConfig.lowlight_solo)
+    data_lowlight_solo: float = 0.0
 
 
 def charbonnier(pred, target, eps):
@@ -286,6 +288,7 @@ class Trainer:
             smooth_share=cfg.data_smooth_share,
             clean_fraction=cfg.data_clean_fraction,
             compression_solo=cfg.data_compression_solo,
+            lowlight_solo=cfg.data_lowlight_solo,
         )
         self._data_cfg_rich = DataConfig(
             size=cfg.image_size, photo=False, clean_fraction=cfg.data_clean_fraction
@@ -299,6 +302,7 @@ class Trainer:
             smooth_share=cfg.data_smooth_share,
             clean_fraction=cfg.data_clean_fraction,
             compression_solo=cfg.data_compression_solo,
+            lowlight_solo=cfg.data_lowlight_solo,
         )
         self._mix_acc = 0.0
         self._mix_acc_mild = 0.0

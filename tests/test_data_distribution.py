@@ -259,3 +259,37 @@ def test_compression_solo_off_is_identity():
     x2, s2 = _degrade(jax.random.PRNGKey(3), clean, cfg_zero, protect=protect)
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_lowlight_solo_counterweight():
+    """lowlight_solo forces a low-light-only active mask for its share (the
+    comp-solo displacement counterweight, 2026-08-20: one comp_solo=0.3
+    chunk drifted ood/vignette_low_light -0.97 dB), and comp wins ties so
+    the jpeg-only share stays exactly compression_solo."""
+    cfg = DataConfig(
+        size=32, photo=True, clean_fraction=0.0,
+        compression_solo=0.3, lowlight_solo=0.25,
+    )
+    clean = jnp.full((512, 32, 32, 3), 0.5, jnp.float32)
+    protect = jnp.zeros((512, 1), jnp.float32)
+    _, s = _degrade(jax.random.PRNGKey(11), clean, cfg, protect=protect)
+    s = np.asarray(s)
+    ll_only = (s[:, 2] > 0) & (np.abs(s[:, [0, 1, 3, 4, 5, 6]]).max(axis=1) == 0)
+    assert ll_only.mean() > 0.10, f"lowlight-only fraction {ll_only.mean():.3f}"
+    comp_only = (s[:, 3] > 0) & (np.abs(s[:, [0, 1, 2, 4, 5, 6]]).max(axis=1) == 0)
+    assert comp_only.mean() > 0.15, f"comp-only fraction {comp_only.mean():.3f}"
+
+
+def test_lowlight_solo_off_is_identity():
+    """lowlight_solo=0 must not perturb the RNG stream."""
+    cfg_off = DataConfig(size=32, photo=True, clean_fraction=0.0, compression_solo=0.2)
+    cfg_zero = DataConfig(
+        size=32, photo=True, clean_fraction=0.0, compression_solo=0.2,
+        lowlight_solo=0.0,
+    )
+    clean = jnp.full((64, 32, 32, 3), 0.5, jnp.float32)
+    protect = jnp.zeros((64, 1), jnp.float32)
+    x1, s1 = _degrade(jax.random.PRNGKey(3), clean, cfg_off, protect=protect)
+    x2, s2 = _degrade(jax.random.PRNGKey(3), clean, cfg_zero, protect=protect)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
