@@ -60,6 +60,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, late_div: bool):
 def _attention_nh(q, k, v, interpret=False, bq=None, late_div=None):
     nh, t, d = q.shape
     bq = min(bq or BQ, t)
+    if t % bq != 0:
+        # Direct callers (the autotune sweep with a custom ATTN_T) would
+        # otherwise get silently truncated output: grid=(nh, t // bq) drops
+        # the tail tokens. flash_attention re-checks against the module BQ,
+        # but this is the choke point every entry path goes through.
+        raise ValueError(f"token count {t} must be a multiple of query block {bq}")
     late_div = LATE_DIV if late_div is None else late_div
     scale = 1.0 / math.sqrt(d)
     grid = (nh, t // bq)

@@ -77,6 +77,7 @@ for chunk in 1 2 3; do
     TRAIN_FAMILY=restore-unet TRAIN_RESUME=1 \
     TRAIN_DATA_PHOTO=1 TRAIN_DATA_DECONV=1 TRAIN_DATA_GRAIN=1 TRAIN_DATA_SMOOTH=1 \
     TRAIN_DATA_MIX_MILD=0.5 TRAIN_DATA_MIX_RICH=0.2 TRAIN_DATA_COMP_SOLO=0.3 \
+    TRAIN_DATA_LOWLIGHT_SOLO=0.18 \
     TRAIN_STEPS=4000 TRAIN_BATCH=32 TRAIN_SIZE=128 \
     TRAIN_LR=2e-5 TRAIN_IDENTITY_WEIGHT=6.0 TRAIN_SEED=52$chunk \
     python -m image_restoration_platform_tpu.train \
