@@ -66,22 +66,42 @@ def main() -> None:
         "t0 = time.perf_counter(); np.asarray(d)\n"
         "assert time.perf_counter() - t0 < 5.0, 'D2H degraded'\n"
     )
-    tpu_degraded = False
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c", probe_src], timeout=probe_timeout, capture_output=True
-        )
-        tpu_ok = probe.returncode == 0
-        if not tpu_ok:
-            err = probe.stderr.decode()[-500:]
-            if "D2H degraded" in err:
-                tpu_ok, tpu_degraded = True, True
-                log("TPU reachable but tunnel D2H degraded: minimal sections only")
-            else:
-                log(f"TPU probe failed: {err}")
-    except subprocess.TimeoutExpired:
-        tpu_ok = False
-        log(f"TPU probe hung past {probe_timeout:.0f}s (tunnel down)")
+
+    def probe_once():
+        """-> 'healthy' | 'degraded' | 'down' (killable subprocess; this
+        process has no JAX client yet, so a second client is safe here)."""
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", probe_src], timeout=probe_timeout,
+                capture_output=True,
+            )
+            if probe.returncode == 0:
+                return "healthy"
+            if "D2H degraded" in probe.stderr.decode()[-500:]:
+                return "degraded"
+            log(f"TPU probe failed: {probe.stderr.decode()[-300:]}")
+            return "down"
+        except subprocess.TimeoutExpired:
+            return "down"
+
+    # Retry within a budget instead of one probe -> CPU (VERDICT r4 next #1):
+    # the tunnel flaps on minute scales, and a driver-captured TPU headline is
+    # worth waiting a few minutes for. First healthy probe wins; a degraded
+    # tunnel is accepted only once the budget is spent (minimal sections,
+    # honest label); CPU only if the chip never answered at all.
+    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "600"))
+    t_probe = time.time()
+    state = probe_once()
+    while state != "healthy" and time.time() - t_probe + 30 < probe_budget:
+        log(f"tunnel {state}; re-probing ({probe_budget - (time.time() - t_probe):.0f}s budget left)")
+        time.sleep(30)
+        state = probe_once()
+    tpu_ok = state in ("healthy", "degraded")
+    tpu_degraded = state == "degraded"
+    pre_probe = {"mode": "tpu" if tpu_ok else "down", "ok": state == "healthy",
+                 "tier": state}
+    if tpu_degraded:
+        log("TPU reachable but tunnel D2H degraded: minimal sections only")
     if not tpu_ok:
         log("TPU backend unavailable; falling back to CPU")
         jax.config.update("jax_platforms", "cpu")
@@ -238,6 +258,23 @@ def main() -> None:
             detail["sections_skipped"].append("device_only")
     else:
         detail["sections_skipped"].append("device_only")
+
+    # ---- validity stamp (VERDICT r4 next #5): the e2e/batched/device-only
+    # numbers above are host-timed; a tunnel that degraded mid-run silently
+    # corrupts them, so re-probe D2H in-process (this process owns the chip —
+    # a subprocess probe here would wedge both clients) and stamp the record.
+    # A knowingly-degraded run skips the post probe (it would just stall
+    # ~3 min for an answer we already have) and stamps INVALID outright.
+    from image_restoration_platform_tpu.utils.measure_guard import d2h_probe, stamp
+
+    if on_cpu:
+        pre_probe = {"mode": "cpu", "ok": True}
+        post_probe = {"mode": "cpu", "ok": True}
+    elif tpu_degraded:
+        post_probe = {"mode": "tpu", "ok": False, "tier": "degraded-skip"}
+    else:
+        post_probe = d2h_probe()
+    stamp(detail, pre_probe, post_probe, clock="host")
 
     # ---- headline FIRST (VERDICT r3: the artifact must survive anything that
     # happens after this line — family sweep overruns, tunnel death, kills)

@@ -635,6 +635,23 @@ async def admin_profile(request: web.Request) -> web.Response:
     return web.json_response({"traceDir": trace_dir, "seconds": seconds})
 
 
+async def admin_probe_d2h(request: web.Request) -> web.Response:
+    """Fresh-buffer D2H tunnel probe executed by the serving process — the
+    process that owns the chip (a second-process probe would wedge both
+    clients; one TPU client at a time on this stack). Lets HTTP-side
+    measurement harnesses (scripts/loadtest.py) stamp their host-timed
+    records with pre/post tunnel validity (VERDICT r4 item 5)."""
+    _require_admin(request)
+    from ..utils.measure_guard import d2h_probe
+
+    try:
+        mb = max(1, min(24, int(request.query.get("mb", 12))))
+    except (TypeError, ValueError):
+        raise bad_request("mb must be an integer")
+    rec = await asyncio.to_thread(d2h_probe, mb)
+    return web.json_response(rec)
+
+
 async def admin_traces(request: web.Request) -> web.Response:
     """OTLP/JSON dump of the completed-span ring buffer — the export path the
     reference spec'd (design.md:1494-1530) but left unbootstrapped. Point an
@@ -724,6 +741,7 @@ def setup_routes(app: web.Application) -> None:
     app.router.add_get("/v1/admin/analytics", admin_analytics)
     app.router.add_post("/v1/admin/jobs/{job_id}/replay", admin_replay)
     app.router.add_post("/v1/admin/profile", admin_profile)
+    app.router.add_post("/v1/admin/probe/d2h", admin_probe_d2h)
     app.router.add_get("/v1/admin/traces", admin_traces)
     app.router.add_post("/v1/admin/credits/grant", admin_grant)
 

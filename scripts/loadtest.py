@@ -43,6 +43,24 @@ async def one_request(session, base, photo, results):
         results.append((ok, (time.perf_counter() - t0) * 1000))
 
 
+async def server_probe(session, base):
+    """Ask the SERVER to run the fresh-buffer D2H probe (it owns the chip;
+    probing from this process would open a second TPU client and wedge
+    both). Returns the measure_guard record, or ok=False on any error."""
+    try:
+        async with session.post(
+            f"{base}/v1/admin/probe/d2h",
+            headers={"Authorization": "Bearer dev-user-loadtest",
+                     "Idempotency-Key": str(uuid.uuid4())},
+            timeout=aiohttp.ClientTimeout(total=240),
+        ) as resp:
+            if resp.status == 200:
+                return await resp.json()
+            return {"ok": False, "error": f"probe http {resp.status}"}
+    except Exception as error:
+        return {"ok": False, "error": repr(error)[:200]}
+
+
 async def main():
     base = sys.argv[1] if len(sys.argv) > 1 else "http://localhost:8080"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -66,6 +84,8 @@ async def main():
         await one_request(session, base, photo, warm)
         assert warm[0][0], "warmup request failed"
 
+        pre = await server_probe(session, base)
+
         results = []
         semaphore = asyncio.Semaphore(concurrency)
 
@@ -77,13 +97,26 @@ async def main():
         await asyncio.gather(*[limited() for _ in range(n)])
         wall = time.perf_counter() - t0
 
+        post = await server_probe(session, base)
+
+    from image_restoration_platform_tpu.utils.measure_guard import stamp
+
     ok = sum(1 for r in results if r[0])
     lat = np.asarray([r[1] for r in results])
+    record = {
+        "ok": ok, "n": n, "req_per_s": round(n / wall, 2),
+        "p50_ms": round(float(np.percentile(lat, 50)), 1),
+        "p95_ms": round(float(np.percentile(lat, 95)), 1),
+        "concurrency": concurrency,
+    }
+    stamp(record, pre, post, clock="host")
     print(
         f"{ok}/{n} ok | {n / wall:.2f} req/s | "
-        f"p50 {np.percentile(lat, 50):.0f} ms | p95 {np.percentile(lat, 95):.0f} ms | "
-        f"concurrency {concurrency}"
+        f"p50 {record['p50_ms']:.0f} ms | p95 {record['p95_ms']:.0f} ms | "
+        f"concurrency {concurrency} | validity {record['validity']['status']}"
     )
+    import json
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -97,11 +97,21 @@ def timeit(name, fn, *args, reps=20):
     return dt
 
 
-t_full = timeit("full", full, params_f, canvas, valid, jpeg_f)
-t_nc = timeit("no_classify", no_classify, params_f, canvas)
-t_nu = timeit("no_unet", no_unet, canvas, valid, jpeg_f)
-t_uf = timeit("unet_f32io", unet_f32io, params_f, x_bf16)
-t_un = timeit("unfolded", unfolded, params_u, canvas, valid, jpeg_f)
+from image_restoration_platform_tpu.utils.measure_guard import guarded  # noqa: E402
+
+# host-clock timing: validity requires a healthy tunnel before AND after
+# (VERDICT r4 item 5 — two of the three invalid r4 sessions were this script)
+with guarded() as g:
+    t_full = timeit("full", full, params_f, canvas, valid, jpeg_f)
+    t_nc = timeit("no_classify", no_classify, params_f, canvas)
+    t_nu = timeit("no_unet", no_unet, canvas, valid, jpeg_f)
+    t_uf = timeit("unet_f32io", unet_f32io, params_f, x_bf16)
+    t_un = timeit("unfolded", unfolded, params_u, canvas, valid, jpeg_f)
+record = g.stamp({
+    "full_ms": round(t_full * 1e3, 2), "no_classify_ms": round(t_nc * 1e3, 2),
+    "no_unet_ms": round(t_nu * 1e3, 2), "unet_f32io_ms": round(t_uf * 1e3, 2),
+    "unfolded_ms": round(t_un * 1e3, 2),
+})
 
 print("\nderived (ms/step):", flush=True)
 print(f"  classifier+conditioning ~= full - no_classify = {1000*(t_full-t_nc):.2f}")
@@ -109,3 +119,7 @@ print(f"  classifier floor (standalone)                 = {1000*t_nu:.2f}")
 print(f"  u8 ingress/egress ~= no_classify - unet_f32io = {1000*(t_nc-t_uf):.2f}")
 print(f"  folded UNet core                              = {1000*t_uf:.2f}")
 print(f"  fold advantage (unfolded - full)              = {1000*(t_un-t_full):.2f}")
+
+import json  # noqa: E402
+
+print(json.dumps(record), flush=True)

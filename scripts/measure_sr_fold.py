@@ -63,6 +63,15 @@ def measure(fold: bool) -> float:
 
 
 if __name__ == "__main__":
-    p_on = measure(True)
-    p_off = measure(False)
+    import json
+
+    from image_restoration_platform_tpu.utils.measure_guard import guarded
+
+    with guarded() as g:  # host-clock A/B: stamp validity (VERDICT r4 item 5)
+        p_on = measure(True)
+        p_off = measure(False)
     print(f"fold speedup on the sr step: {p_off/p_on:.2f}x")
+    print(json.dumps(g.stamp({
+        "fold_ms": round(p_on * 1e3, 2), "unfold_ms": round(p_off * 1e3, 2),
+        "speedup": round(p_off / p_on, 3),
+    })), flush=True)

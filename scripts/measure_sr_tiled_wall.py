@@ -29,6 +29,11 @@ import jax.numpy as jnp
 
 print("devices:", jax.devices(), flush=True)
 
+from image_restoration_platform_tpu.utils.measure_guard import guarded  # noqa: E402
+
+_guard = guarded()  # host-clock walls below: stamp validity (VERDICT r4 item 5)
+_guard.__enter__()
+
 # ---- 1. raw D2H calibration
 for mb in (1, 4, 12, 48):
     arr = jax.device_put(jnp.zeros((mb * 1024 * 1024,), jnp.uint8))
@@ -106,3 +111,7 @@ else:
         jax.device_get(p)
     t_sep = time.perf_counter() - t0
     print(f"fetch planes separately: {t_sep*1000:.1f} ms", flush=True)
+
+import json  # noqa: E402
+
+print(json.dumps(_guard.stamp({"script": "measure_sr_tiled_wall"})), flush=True)

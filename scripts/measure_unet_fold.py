@@ -65,6 +65,16 @@ if __name__ == "__main__":
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=512)
     args = ap.parse_args()
-    p_on = measure(True, args.size, args.batch)
-    p_off = measure(False, args.size, args.batch)
+
+    import json
+
+    from image_restoration_platform_tpu.utils.measure_guard import guarded
+
+    with guarded() as g:  # host-clock A/B: stamp validity (VERDICT r4 item 5)
+        p_on = measure(True, args.size, args.batch)
+        p_off = measure(False, args.size, args.batch)
     print(f"flagship fold speedup: {p_off/p_on:.2f}x", flush=True)
+    print(json.dumps(g.stamp({
+        "fold_ms": round(p_on * 1e3, 2), "unfold_ms": round(p_off * 1e3, 2),
+        "speedup": round(p_off / p_on, 3),
+    })), flush=True)

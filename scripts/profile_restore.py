@@ -33,16 +33,23 @@ exe = engine._compiled[key_sig]
 imgs_d = jax.device_put(canvas)
 args = (imgs_d, valid, jpeg_f)
 
-for _ in range(2):
-    out, scores = exe(params, *args)
+from image_restoration_platform_tpu.utils.measure_guard import guarded  # noqa: E402
+
+with guarded() as _g:  # host-clock step timing: stamp validity (r4 item 5)
+    for _ in range(2):
+        out, scores = exe(params, *args)
+        jax.block_until_ready(out)
+    REPS = 20
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out, scores = exe(params, *args)
     jax.block_until_ready(out)
-REPS = 20
-t0 = time.perf_counter()
-for _ in range(REPS):
-    out, scores = exe(params, *args)
-jax.block_until_ready(out)
-dt = (time.perf_counter() - t0) / REPS
+    dt = (time.perf_counter() - t0) / REPS
 print(f"b8 512px fused step: {dt*1000:.2f} ms/step = {dt/8*1000:.3f} ms/img", flush=True)
+
+import json  # noqa: E402
+
+print(json.dumps(_g.stamp({"step_ms": round(dt * 1e3, 2)})), flush=True)
 
 trace_dir = "/tmp/irp_prof"
 try:

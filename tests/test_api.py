@@ -608,6 +608,25 @@ class TestAdmin:
 
         run(ctx, check)
 
+    def test_admin_probe_d2h(self, ctx, monkeypatch):
+        """The serving process runs the tunnel probe itself (one TPU client
+        at a time); on the CPU test backend it reports mode=cpu ok=True."""
+        monkeypatch.setenv("ADMIN_USERS", "alice")
+
+        async def check(client):
+            resp = await client.post(
+                "/v1/admin/probe/d2h", headers={**AUTH, **idem()}
+            )
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["ok"] is True and body["mode"] == "cpu"
+            resp = await client.post(
+                "/v1/admin/probe/d2h?mb=bogus", headers={**AUTH, **idem()}
+            )
+            assert resp.status == 400
+
+        run(ctx, check)
+
     def test_traces_otlp_export(self, ctx, monkeypatch):
         monkeypatch.setenv("ADMIN_USERS", "alice")
 
