@@ -12,8 +12,8 @@ The yuv420 planes are 12.4 MB; at the tunnel's historical ~34 MB/s that is
      jax.device_get of the tuple (one call, possibly serialized RTs)
   5. same wall for output="rgb" (3 B/px) for the bytes-vs-overhead split
 
-Writes human-readable lines to stdout; run under the measurement queue
-(scripts/r4h_measure.sh) so it never contends with training.
+Writes human-readable lines to stdout; run as a scripts/chip_queue.py
+payload so it never contends with training.
 """
 
 import os
