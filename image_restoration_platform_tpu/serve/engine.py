@@ -22,33 +22,11 @@ import numpy as np
 
 from ..config import ServingConfig
 from ..models import get_family, ParamCache
-from ..models import nn as mnn
 from ..obs.tracing import device_trace, get_tracer
 from ..parallel.mesh import AXIS_DATA
 from ..parallel.sharding import activation_sharding, batch_sharding, shard_params
 from ..utils.logging import get_logger
-
-
-def enable_persistent_compilation_cache() -> None:
-    """Persistent XLA executable cache across processes (AOT-compile cache per
-    SURVEY.md section 5 checkpoint/resume): server restarts and bench runs
-    reuse compiled programs instead of paying multi-minute TPU compiles."""
-    import os
-
-    # CPU-only contexts (tests, baseline runs) skip the cache: XLA:CPU AOT
-    # results are machine-feature-pinned and reload with SIGILL-risk warnings.
-    platforms = getattr(jax.config, "jax_platforms", None)
-    if platforms and set(platforms.split(",")) == {"cpu"}:
-        return
-
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/irp_xla_cache")
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # pragma: no cover - cache is an optimization only
-        pass
-
+from .exec_cache import enable_persistent_compilation_cache
 
 enable_persistent_compilation_cache()
 
@@ -173,117 +151,22 @@ class RestorationEngine:
             return self._sharded_params[family_name]
 
     # ----------------------------------------------------------- programs
+    #
+    # Program construction lives in serve/programs/ (VERDICT r4 item 9);
+    # the engine passes the structural facts that also key its caches.
 
     def _build_program(self, family_name: str, egress: str = "rgb"):
-        """One fused XLA program per family: masked classify -> conditioning
-        -> backbone -> byte conversion, single launch (classify/fused.py).
+        from .programs import build_restore_program
 
-        ``egress="yuv420"`` (standard restore families only): the program
-        emits ((Y, Cb, Cr) u8 planes, scores) instead of (RGB u8, scores) —
-        1.5 B/px device->host instead of 3 B/px, and libjpeg consumes the
-        planes raw (imageio.encode_jpeg_ycbcr420), skipping the host
-        colorspace conversion. Same fast-egress design the tiled-SR path
-        ships (BASELINE config 3); the restore path's D2H is ~25% of single-
-        request latency on the v5e tunnel."""
-        from ..classify.fused import batch_classify_and_condition
-
-        family = get_family(family_name)
-        cfg = family.config
-        dtype = self.dtype
-
-        if family_name.startswith("sr-"):
-            sr_apply = self._sr_apply(family_name)
-
-            def program(params, imgs_u8):
-                x = imgs_u8.astype(dtype) / dtype(255.0)
-                out = sr_apply(params, x, cfg)
-                return jnp.clip(jnp.round(out.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.uint8)
-
-            return jax.jit(program)
-
-        use_folded = self._uses_folded(family_name)
-        if use_folded:
-            from ..models import folded  # noqa: F811
-
-        # spectral blind deblur stage (ops/deblur.py): detect disk/motion PSFs
-        # from the canvas spectrum and Wiener-invert before the backbone. The
-        # learned model cannot carry the kernel through 28-dim conditioning
-        # (~0 dB on OOD defocus after 40k deconv-training steps); the spectrum
-        # identifies it directly. Non-firing images pass through bit-identical.
-        use_deblur = self.config.deblur
-        # JPEG deblocking runs BEFORE deblur: blocking artifacts suppress the
-        # deblur estimator's motion evidence, and its compression surcharge
-        # should see the post-deblock compression score (ops/deblock.py)
-        use_deblock = self.config.deblock
-
-        from ..ops.deblock import deblock_and_recondition as _deblock_and_recondition
-        from ..ops.deblur import deblur_and_recondition as _deblur_and_recondition
-
-        if family_name == "diffusion-restore":
-
-            def program(params, canvas_u8, valid_hw, is_jpeg_f, key):
-                scores, cond = batch_classify_and_condition(
-                    canvas_u8.astype(jnp.float32), valid_hw, is_jpeg_f
-                )
-                stage_scores = scores
-                if use_deblock:
-                    canvas_u8, stage_scores, cond = _deblock_and_recondition(
-                        canvas_u8, valid_hw, is_jpeg_f, scores, cond
-                    )
-                if use_deblur:
-                    canvas_u8, cond = _deblur_and_recondition(
-                        canvas_u8, valid_hw, is_jpeg_f, stage_scores, cond
-                    )
-                x = canvas_u8.astype(dtype) / dtype(255.0)
-                out = family.apply(
-                    params, x, cond.astype(dtype), key, cfg,
-                    apply_fn=folded.apply if use_folded else None,
-                )
-                out_u8 = jnp.clip(jnp.round(out.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.uint8)
-                return out_u8, scores
-
-            return jax.jit(program)
-
-        backbone = folded.apply if use_folded else family.apply
-        # space-to-depth IO (config.py s2d_io): convert + normalize AFTER the
-        # u8 space-to-depth permutation and quantize BEFORE the u8 depth-to-
-        # space, so the program carries no full-res bf16 [N,H,W,3] tensor
-        # (3/128 lane utilization; ~2 ms/step of copies at 512px b8).
-        # Value-exact: s2d is a permutation, the backbone consumes the same
-        # values, and the residual channel order matches (models/unet.py);
-        # f32 byte-identical, bf16 <=1 level (tests/test_engine_s2d_io.py)
-        use_s2d_io = self._uses_s2d_io(family_name)
-        s2d_scale = getattr(cfg, "input_scale", 1)
-
-        def program(params, canvas_u8, valid_hw, is_jpeg_f):
-            scores, cond = batch_classify_and_condition(
-                canvas_u8.astype(jnp.float32), valid_hw, is_jpeg_f
-            )
-            stage_scores = scores
-            if use_deblock:
-                canvas_u8, stage_scores, cond = _deblock_and_recondition(
-                    canvas_u8, valid_hw, is_jpeg_f, scores, cond
-                )
-            if use_deblur:
-                canvas_u8, cond = _deblur_and_recondition(
-                    canvas_u8, valid_hw, is_jpeg_f, stage_scores, cond
-                )
-            if use_s2d_io:
-                x = mnn.space_to_depth(canvas_u8, s2d_scale).astype(dtype) / dtype(255.0)
-                out = backbone(params, x, cond.astype(dtype), config=cfg, s2d_io=True)
-                if egress == "yuv420":
-                    return self._to_yuv420_s2d(out), scores
-                out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
-                out_u8 = jnp.round(out * 255.0).astype(jnp.uint8)
-                return mnn.pixel_shuffle(out_u8, s2d_scale), scores
-            x = canvas_u8.astype(dtype) / dtype(255.0)
-            out = backbone(params, x, cond.astype(dtype), config=cfg)
-            out = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
-            if egress == "yuv420":
-                return jax.vmap(self._to_yuv420)(out * 255.0), scores
-            return jnp.round(out * 255.0).astype(jnp.uint8), scores
-
-        return jax.jit(program)
+        return build_restore_program(
+            family_name,
+            dtype=self.dtype,
+            use_folded=self._uses_folded(family_name),
+            use_s2d_io=self._uses_s2d_io(family_name),
+            use_deblur=self.config.deblur,
+            use_deblock=self.config.deblock,
+            egress=egress,
+        )
 
     def _compiled_fn(self, family_name: str, egress: str = "rgb"):
         key = family_name if egress == "rgb" else ("prog", family_name, egress)
@@ -294,48 +177,8 @@ class RestorationEngine:
 
     # -------------------------------------------- executable disk cache
     #
-    # The TPU stack here compiles remotely and ignores the XLA persistent
-    # cache, so every fresh process pays a multi-minute compile per program.
-    # We cache *serialized executables* on disk instead, keyed by the sha256
-    # of the lowered StableHLO (plus backend), so any change to the model or
-    # program invalidates naturally and a warm machine loads executables in
-    # milliseconds (AOT-compile cache, SURVEY.md section 5).
-
-    def _exec_cache_dir(self) -> str:
-        import os
-
-        d = os.environ.get("IRP_EXEC_CACHE_DIR", "/root/.cache/irp_exec_cache")
-        os.makedirs(d, exist_ok=True)
-        return d
-
-    _code_fp_cache: str | None = None
-
-    @classmethod
-    def _code_fingerprint(cls) -> str:
-        """Digest of the compute-path source files. Serializing the lowered
-        StableHLO for keying is exact but takes minutes for 512px+ programs on
-        this host; hashing the source that *generates* the program is cheap
-        and invalidates on any model/op/classifier change."""
-        if cls._code_fp_cache is not None:
-            return cls._code_fp_cache
-        import hashlib
-        import os
-
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        h = hashlib.sha256()
-        for sub in ("models", "classify", "ops", "serve/engine.py"):
-            path = os.path.join(root, sub)
-            files = []
-            if os.path.isfile(path):
-                files = [path]
-            else:
-                for base, _, names in sorted(os.walk(path)):
-                    files += [os.path.join(base, n) for n in sorted(names) if n.endswith(".py")]
-            for f in files:
-                with open(f, "rb") as fh:
-                    h.update(fh.read())
-        cls._code_fp_cache = h.hexdigest()
-        return cls._code_fp_cache
+    # Disk tier in serve/exec_cache.py; the engine keeps the in-memory dict
+    # (self._compiled) and the single-flight gate.
 
     def _exec_key(self, tag, example_args: tuple):
         """Cache signature for one compiled program: the builder tag, every
@@ -399,9 +242,7 @@ class RestorationEngine:
     def _compile_locked_out(self, key_sig, family_name, example_args, fn, params):
         """Body of _aot_executable once the calling thread owns the
         single-flight slot for ``key_sig``."""
-        import hashlib
-        import os
-        import pickle
+        from . import exec_cache
 
         tag = key_sig[0]
         egress = "yuv420" if (isinstance(tag, tuple) and "yuv420" in tag) else "rgb"
@@ -410,64 +251,20 @@ class RestorationEngine:
 
         # Disk caching is TPU-only: XLA:CPU AOT results are machine-feature
         # sensitive and reload unreliably (cpu_aot_loader feature mismatch).
-        use_disk = jax.default_backend() not in ("cpu",)
-        if not use_disk:
-            compiled = fn.lower(params, *example_args).compile()
-            with self._lock:
-                self._compiled[key_sig] = compiled
-                self.compile_count += 1
-            return compiled
-
-        digest = hashlib.sha256(
-            (
-                repr(key_sig)
-                + self._code_fingerprint()
-                + str(self.dtype)
-                + jax.default_backend()
-                + jax.__version__
-            ).encode()
-        ).hexdigest()
-        path = os.path.join(self._exec_cache_dir(), f"{digest}.xc")
-
-        lowered = None
         executable = None
-        if os.path.exists(path):
-            try:
-                from jax.experimental import serialize_executable as se
-
-                with open(path, "rb") as f:
-                    blob, in_tree, out_tree = pickle.load(f)
-                executable = se.deserialize_and_load(blob, in_tree, out_tree)
-                self.logger.info(
-                    "Loaded cached executable", {"family": family_name, "digest": digest[:12]}
-                )
-            except Exception as error:  # stale/corrupt cache entry
-                self.logger.warn(
-                    "Executable cache load failed; recompiling",
-                    {"error": str(error)},
-                )
-                executable = None
+        path = None
+        if jax.default_backend() not in ("cpu",):
+            path = exec_cache.cache_path(key_sig, self.dtype)
+            executable = exec_cache.load(path, self.logger, family_name)
         if executable is None:
-            t0 = time.perf_counter()
-            if lowered is None:
-                lowered = fn.lower(params, *example_args)
-            executable = lowered.compile()
+            if path is None:
+                executable = fn.lower(params, *example_args).compile()
+            else:
+                executable = exec_cache.compile_and_store(
+                    fn, params, example_args, path, self.logger, family_name
+                )
             with self._lock:
                 self.compile_count += 1
-            self.logger.info(
-                "Compiled program",
-                {"family": family_name, "seconds": round(time.perf_counter() - t0, 1)},
-            )
-            try:
-                from jax.experimental import serialize_executable as se
-
-                blob, in_tree, out_tree = se.serialize(executable)
-                tmp = path + ".tmp"
-                with open(tmp, "wb") as f:
-                    pickle.dump((blob, in_tree, out_tree), f)
-                os.replace(tmp, path)
-            except Exception as error:  # pragma: no cover - cache is best effort
-                self.logger.warn("Executable cache save failed", {"error": str(error)})
 
         with self._lock:
             self._compiled[key_sig] = executable
@@ -605,6 +402,26 @@ class RestorationEngine:
 
         return fetch
 
+    def _run_sync(self, label, executable, params, args, family_name, **extra):
+        """Dispatch a cached executable, fetch in ONE synchronizing
+        device_get (the transport is latency-bound: one round trip, not one
+        per output), and assemble the standard meta with overlap-corrected
+        deviceSeconds. Shared by the synchronous fuse/sr surfaces."""
+        t0 = time.perf_counter()
+        with device_trace(label):
+            out_d = executable(params, *args)
+            t_fetch = time.perf_counter()
+            out = jax.device_get(out_d)
+        device_s = self._account_device_time(t0)
+        meta = {
+            "engineRequestId": uuid.uuid4().hex,
+            "deviceSeconds": device_s,
+            "fetchSeconds": time.perf_counter() - t_fetch,
+            "family": family_name,
+            **extra,
+        }
+        return out, meta
+
     def fuse_batch(
         self,
         canvas_u8: np.ndarray,
@@ -621,56 +438,22 @@ class RestorationEngine:
         dominate the composite. Returns (fused [B,B,3], scores [K,7], meta).
         """
         k = canvas_u8.shape[0]
-        from ..classify.fused import batch_classify_and_condition
+        from .programs import build_fusion_program
 
-        family = get_family(family_name)
-        cfg = family.config
-        dtype = self.dtype
-        if self._uses_folded(family_name):
-            from ..models import folded
-
-            backbone = folded.apply
-        else:
-            backbone = family.apply
-
-        def program(params, canvas, vhw, jpeg_f):
-            scores, cond = batch_classify_and_condition(
-                canvas.astype(jnp.float32), vhw, jpeg_f
-            )
-            x = canvas.astype(dtype) / dtype(255.0)
-            restored = backbone(params, x, cond.astype(dtype), config=cfg)
-            restored = jnp.clip(restored.astype(jnp.float32), 0.0, 1.0)
-            # quality weighting: blur/noise/lowLight degrade alignment-free
-            # fusion the most; softmax sharpens the preference
-            quality = 1.0 - (scores[:, 0] + scores[:, 1] + scores[:, 2]) / 3.0
-            weights = jax.nn.softmax(4.0 * quality)
-            fused = jnp.einsum("k,khwc->hwc", weights, restored)
-            fused_u8 = jnp.round(jnp.clip(fused, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-            return fused_u8, scores
-
+        fn = build_fusion_program(
+            family_name, dtype=self.dtype, use_folded=self._uses_folded(family_name)
+        )
         params = self._params(family_name)
         imgs_d, _ = self._place(canvas_u8, None)
         args = (imgs_d, np.asarray(valid_hw, np.int32), np.asarray(is_jpeg, np.float32))
         executable = self._aot_executable(
-            ("fusion", family_name), args, fn=jax.jit(program), params=params
+            ("fusion", family_name), args, fn=fn, params=params
         )
-        t0 = time.perf_counter()
-        with device_trace(f"fuse/{family_name}/k{k}/{canvas_u8.shape[1]}"):
-            fused, scores = executable(params, *args)
-            t_fetch = time.perf_counter()
-            fused_h, scores_h = jax.device_get((fused, scores))  # one round trip
-        device_s = self._account_device_time(t0)
-        return (
-            np.asarray(fused_h),
-            np.asarray(scores_h),
-            {
-                "engineRequestId": uuid.uuid4().hex,
-                "deviceSeconds": device_s,
-                "fetchSeconds": time.perf_counter() - t_fetch,
-                "family": family_name,
-                "fusionInputs": k,
-            },
+        (fused_h, scores_h), meta = self._run_sync(
+            f"fuse/{family_name}/k{k}/{canvas_u8.shape[1]}",
+            executable, params, args, family_name, fusionInputs=k,
         )
+        return np.asarray(fused_h), np.asarray(scores_h), meta
 
     def sr_batch(self, imgs_u8: np.ndarray, family_name: str = "sr-x2") -> tuple[np.ndarray, dict]:
         """Super-resolution batch (no conditioning)."""
@@ -678,66 +461,11 @@ class RestorationEngine:
         params = self._params(family_name)
         imgs_d, _ = self._place(imgs_u8, None)
         executable = self._aot_executable(("sr", family_name), (imgs_d,))
-        t0 = time.perf_counter()
-        with device_trace(f"sr/{family_name}/{imgs_u8.shape[1]}x{imgs_u8.shape[2]}"):
-            out_d = executable(params, imgs_d)
-            t_fetch = time.perf_counter()
-            out = jax.device_get(out_d)  # one round trip
-        device_s = self._account_device_time(t0)
-        return np.asarray(out)[:n], {
-            "engineRequestId": uuid.uuid4().hex,
-            "deviceSeconds": device_s,
-            "fetchSeconds": time.perf_counter() - t_fetch,
-            "family": family_name,
-        }
-
-    @staticmethod
-    def _to_yuv420_s2d(out_s2d: jax.Array):
-        """Space-to-depth-layout model output [N,h,w,12] f32 in [0,1] ->
-        batched (Y [N,2h,2w], Cb [N,h,w], Cr [N,h,w]) u8 planes, JPEG
-        full-range BT.601 with 2x2 box chroma subsampling.
-
-        The 2x2 chroma block of the full-res image IS one s2d pixel's four
-        (ph, pw) phase groups, and the BT.601 chroma transform is affine, so
-        the box-mean of per-pixel chroma equals the chroma of the phase-mean
-        RGB — planes come straight off the s2d tensor with no full-res
-        3-channel intermediate (the s2d_io design, config.py)."""
-        n, h, w, _ = out_s2d.shape
-        p = jnp.clip(out_s2d.astype(jnp.float32), 0.0, 1.0).reshape(n, h, w, 4, 3) * 255.0
-        r, g, b = p[..., 0], p[..., 1], p[..., 2]
-        y_ph = 0.299 * r + 0.587 * g + 0.114 * b  # [N,h,w,4] (ph, pw) order
-        y = y_ph.reshape(n, h, w, 2, 2).transpose(0, 1, 3, 2, 4).reshape(n, 2 * h, 2 * w)
-        rm, gm, bm = r.mean(axis=3), g.mean(axis=3), b.mean(axis=3)
-        cb = 128.0 - 0.168735892 * rm - 0.331264108 * gm + 0.5 * bm
-        cr = 128.0 + 0.5 * rm - 0.418687589 * gm - 0.081312411 * bm
-
-        def u8(v):
-            return jnp.round(jnp.clip(v, 0.0, 255.0)).astype(jnp.uint8)
-
-        return u8(y), u8(cb), u8(cr)
-
-    @staticmethod
-    def _to_yuv420(out_f32: jax.Array):
-        """[H,W,3] float RGB in [0,255] -> (Y [H,W], Cb, Cr [H/2,W/2]) u8
-        planes, JPEG full-range BT.601 with 2x2 box chroma subsampling.
-
-        Emitting planes instead of RGB cuts the device->host transfer to
-        1.5 B/px — the 48 MB 4K RGB output crossing the ~34 MB/s tunnel was
-        ~90% of the 2K->4K wall (BASELINE config 3 / VERDICT r2 weak #3).
-        The host feeds them straight to libjpeg's raw 4:2:0 pipeline
-        (imageio.encode_jpeg_ycbcr420)."""
-        r, g, b = out_f32[..., 0], out_f32[..., 1], out_f32[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
-        h, w = y.shape
-        cbs = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-        crs = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
-
-        def u8(v):
-            return jnp.round(jnp.clip(v, 0.0, 255.0)).astype(jnp.uint8)
-
-        return u8(y), u8(cbs), u8(crs)
+        out, meta = self._run_sync(
+            f"sr/{family_name}/{imgs_u8.shape[1]}x{imgs_u8.shape[2]}",
+            executable, params, (imgs_d,), family_name,
+        )
+        return np.asarray(out)[:n], meta
 
     def sr_tiled(
         self,
@@ -762,103 +490,39 @@ class RestorationEngine:
         the gathered results. Output matches single-device exactly — tiling,
         SR, and blend are all per-tile/per-pixel deterministic.
         """
-        from ..ops.tile import blend_tiles, tile_image, tiled_apply
+        from .programs import build_sr_tiled_mesh_program, build_sr_tiled_program
 
-        family = get_family(family_name)
-        cfg = family.config
-        scale = cfg.scale
         size = canvas_u8.shape[0]
-        dtype = self.dtype
-        multi_device = self._is_multi_device()
-
         sr_apply = self._sr_apply(family_name)
 
-        def sr_fn_builder(params):
-            def per_tiles(tiles):
-                x = tiles.astype(dtype) / dtype(255.0)
-                out = sr_apply(params, x, cfg)
-                return out.astype(jnp.float32) * 255.0
-
-            return per_tiles
-
-        if multi_device:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            dp = self.mesh.shape[AXIS_DATA]
-            tiles_sharding = NamedSharding(self.mesh, P(AXIS_DATA, None, None, None))
-            replicated = NamedSharding(self.mesh, P())
-            mesh_chunk = tile_batch * dp
-
-            def program_fn(params, canvas):
-                img = canvas.astype(jnp.float32)
-                tiles, ys, xs = tile_image(img, tile, overlap)
-                n = tiles.shape[0]
-                sr = sr_fn_builder(params)
-                pad = (-n) % mesh_chunk if n > mesh_chunk else (-n) % dp
-                if pad:
-                    tiles = jnp.concatenate(
-                        [tiles, jnp.repeat(tiles[-1:], pad, axis=0)], axis=0
-                    )
-                chunks = []
-                step = min(mesh_chunk, tiles.shape[0])
-                for i in range(0, tiles.shape[0], step):
-                    chunk = jax.lax.with_sharding_constraint(
-                        tiles[i : i + step], tiles_sharding
-                    )
-                    chunks.append(sr(chunk))
-                out_tiles = jnp.concatenate(chunks, axis=0)[:n]
-                # gather for the windowed fold (cheap relative to the convs)
-                out_tiles = jax.lax.with_sharding_constraint(out_tiles, replicated)
-                h, w, _ = canvas.shape
-                out = blend_tiles(out_tiles, (h, w), ys, xs, scale=scale)
-                if output == "yuv420":
-                    return self._to_yuv420(out)
-                return jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
-
+        if self._is_multi_device():
+            fn = build_sr_tiled_mesh_program(
+                family_name, dtype=self.dtype, sr_apply=sr_apply, mesh=self.mesh,
+                tile=tile, overlap=overlap, tile_batch=tile_batch, output=output,
+            )
             tag = (
                 "sr_tiled_mesh", family_name, tile, overlap, tile_batch, output,
                 self._mesh_key(),
             )
         else:
-
-            def program_fn(params, canvas):
-                img = canvas.astype(jnp.float32)
-                out = tiled_apply(
-                    img, sr_fn_builder(params), tile=tile, overlap=overlap,
-                    scale=scale, tile_batch=tile_batch,
-                )
-                if output == "yuv420":
-                    return self._to_yuv420(out)
-                return jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
-
+            fn = build_sr_tiled_program(
+                family_name, dtype=self.dtype, sr_apply=sr_apply,
+                tile=tile, overlap=overlap, tile_batch=tile_batch, output=output,
+            )
             tag = ("sr_tiled", family_name, tile, overlap, tile_batch, output)
 
         params = self._params(family_name)
         canvas_d = jax.device_put(canvas_u8)
-        executable = self._aot_executable(
-            tag,
-            (canvas_d,),
-            fn=jax.jit(program_fn),
-            params=params,
+        executable = self._aot_executable(tag, (canvas_d,), fn=fn, params=params)
+        out, meta = self._run_sync(
+            f"sr_tiled/{family_name}/{size}t{tile}",
+            executable, params, (canvas_d,), family_name, tile=tile, overlap=overlap,
         )
-        t0 = time.perf_counter()
-        with device_trace(f"sr_tiled/{family_name}/{size}t{tile}"):
-            out_d = executable(params, canvas_d)
-            t_fetch = time.perf_counter()
-            out = jax.device_get(out_d)  # one round trip
-        device_s = self._account_device_time(t0)
         if output == "yuv420":
             out = tuple(np.asarray(p) for p in out)
         else:
             out = np.asarray(out)
-        return out, {
-            "engineRequestId": uuid.uuid4().hex,
-            "deviceSeconds": device_s,
-            "fetchSeconds": time.perf_counter() - t_fetch,
-            "family": family_name,
-            "tile": tile,
-            "overlap": overlap,
-        }
+        return out, meta
 
     def sr_spatial(
         self, canvas_u8: np.ndarray, family_name: str = "sr-x2"
@@ -871,18 +535,15 @@ class RestorationEngine:
         matches the single-device program to within bf16 accumulation-order
         jitter (<=1 at the byte level, seam-free at shard boundaries).
         """
-        from ..models import srnet
-        from ..parallel.halo import spatial_shard_model_apply
         from ..parallel.mesh import AXIS_SPATIAL
+        from .programs import build_sr_spatial_program
 
         if self.mesh is None or self.mesh.shape[AXIS_SPATIAL] <= 1:
             raise ValueError("sr_spatial requires a mesh with a spatial axis > 1")
 
-        family = get_family(family_name)
-        cfg = family.config
-        scale = cfg.scale
-        halo = srnet.receptive_halo(cfg)
-        sp = self.mesh.shape[AXIS_SPATIAL]
+        fn, halo, scale, sp = build_sr_spatial_program(
+            family_name, dtype=self.dtype, mesh=self.mesh
+        )
         h_in = canvas_u8.shape[0]
         # arbitrary heights: edge-replicate rows to the next multiple of the
         # spatial axis and crop the output. Replicated rows match the image
@@ -897,19 +558,6 @@ class RestorationEngine:
                 [canvas_u8, np.repeat(canvas_u8[-1:], pad_rows, axis=0)], axis=0
             )
         h = canvas_u8.shape[0]
-        dtype = self.dtype
-
-        def local_fn(params, block):
-            # [H_loc, W, 3] local rows; convs self-exchange halos per layer
-            x = block.astype(dtype) / dtype(255.0)
-            out = srnet.apply_rowsharded(params, x, cfg)
-            return out.astype(jnp.float32) * 255.0
-
-        sharded_apply = spatial_shard_model_apply(local_fn, self.mesh)
-
-        def program_fn(params, canvas):
-            out = sharded_apply(params, canvas.astype(jnp.float32))
-            return jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -932,133 +580,32 @@ class RestorationEngine:
         executable = self._aot_executable(
             ("sr_spatial", family_name, canvas_u8.shape, self._mesh_key()),
             (canvas_d,),
-            fn=jax.jit(program_fn),
+            fn=fn,
             params=params,
         )
-        t0 = time.perf_counter()
-        with device_trace(f"sr_spatial/{family_name}/{h}"):
-            out_d = executable(params, canvas_d)
-            t_fetch = time.perf_counter()
-            out = jax.device_get(out_d)  # one round trip
-        device_s = self._account_device_time(t0)
+        out, meta = self._run_sync(
+            f"sr_spatial/{family_name}/{h}",
+            executable, params, (canvas_d,), family_name,
+            spatialShards=sp, halo=halo, paddedRows=pad_rows,
+        )
         out = np.asarray(out)
         if pad_rows:
             out = out[: h_in * scale]
-        return out, {
-            "engineRequestId": uuid.uuid4().hex,
-            "deviceSeconds": device_s,
-            "fetchSeconds": time.perf_counter() - t_fetch,
-            "family": family_name,
-            "spatialShards": sp,
-            "halo": halo,
-            "paddedRows": pad_rows,
-        }
-
-    def warmup(
-        self,
-        family_name: str = "restore-unet",
-        sizes: tuple[int, ...] | None = None,
-        batches: tuple[int, ...] | None = None,
-    ) -> float:
-        """AOT-style compile warmup for the serving buckets; returns seconds.
-
-        Defaults to every power-of-two batch bucket up to the configured
-        max_batch — a warm start that only covered b1 would still pay a
-        compile on the first batched burst per size."""
-        sizes = sizes or self.config.size_buckets
-        if batches is None:
-            batches, b = [], 1
-            while b <= self.config.max_batch:
-                batches.append(b)
-                b *= 2
-            batches = tuple(batches)
-        t0 = time.perf_counter()
-        for size in sizes:
-            for batch in batches:
-                imgs = np.zeros((batch, size, size, 3), dtype=np.uint8)
-                self.restore_batch(imgs, family_name=family_name)
-        warm_s = time.perf_counter() - t0
-        self.logger.info(
-            "Warmup complete", {"family": family_name, "sizes": list(sizes), "seconds": round(warm_s, 1)}
-        )
-        return warm_s
+        return out, meta
 
     SR_TILE_THRESHOLD = 512  # mirror of RestoratorService.SR_TILE_THRESHOLD
     SR_TILED_CANVAS = 2048   # the documented 2K->4K bucket
 
-    def warmup_serving(
-        self,
-        families: tuple[str, ...] = ("restore-unet",),
-        sizes: tuple[int, ...] | None = None,
-        batches: tuple[int, ...] | None = None,
-        fusion_k: tuple[int, ...] = (3,),
-        sr_tiled_canvas: int | None = None,
-    ) -> dict:
+    def warmup(self, family_name="restore-unet", sizes=None, batches=None) -> float:
+        """AOT-style compile warmup for the restore buckets (serve/warmup.py)."""
+        from .warmup import warmup_restore
+
+        return warmup_restore(self, family_name, sizes, batches)
+
+    def warmup_serving(self, families=("restore-unet",), sizes=None, batches=None,
+                       fusion_k=(3,), sr_tiled_canvas=None) -> dict:
         """Warm EVERY documented serving surface so no endpoint pays an
-        in-request compile after boot.
+        in-request compile after boot (serve/warmup.py)."""
+        from .warmup import warmup_serving
 
-        ``families`` holds model family names plus the pseudo-surface
-        ``"fusion"`` (k-image fuse_batch on the flagship). Restore-style
-        families (restore-unet, restore-unet-small, diffusion-restore) warm
-        every (size bucket x power-of-two batch bucket) the micro-batcher can
-        form. SR families warm the direct path at buckets <=
-        SR_TILE_THRESHOLD plus the tiled 2K->4K canvas — the routes
-        _restore_sr actually takes (serve/restorator.py). Returns
-        {surface: seconds} per warmed surface.
-        """
-        sizes = sizes or self.config.size_buckets
-        if batches is None:
-            batches, b = [], 1
-            while b <= self.config.max_batch:
-                batches.append(b)
-                b *= 2
-            batches = tuple(batches)
-        report: dict[str, float] = {}
-
-        def timed(tag, fn):
-            t0 = time.perf_counter()
-            fn()
-            report[tag] = round(time.perf_counter() - t0, 3)
-
-        for fam in families:
-            if fam == "fusion":
-                for size in sizes:
-                    for k in fusion_k:
-                        canvas = np.zeros((k, size, size, 3), dtype=np.uint8)
-                        vhw = np.tile(np.asarray([[size, size]], np.int32), (k, 1))
-                        jf = np.zeros((k,), np.float32)
-                        timed(
-                            f"fusion/k{k}/{size}",
-                            lambda c=canvas, v=vhw, j=jf: self.fuse_batch(c, v, j),
-                        )
-            elif fam.startswith("sr-"):
-                for size in sizes:
-                    if size <= self.SR_TILE_THRESHOLD:
-                        img = np.zeros((1, size, size, 3), dtype=np.uint8)
-                        timed(f"{fam}/direct/{size}", lambda i=img, f=fam: self.sr_batch(i, f))
-                tc = sr_tiled_canvas or self.SR_TILED_CANVAS
-                canvas = np.zeros((tc, tc, 3), dtype=np.uint8)
-                tile = min(256, tc)  # clamp for small test canvases
-                # yuv420 planes egress is what the serving path takes for
-                # huge canvases (restorator._restore_sr); rgb is the
-                # fallback when a host resize follows — warm both programs
-                for mode in ("yuv420", "rgb"):
-                    timed(
-                        f"{fam}/tiled-{mode}/{tc}",
-                        lambda c=canvas, f=fam, t=tile, m=mode: self.sr_tiled(
-                            c, f, tile=t, output=m
-                        ),
-                    )
-            else:
-                for size in sizes:
-                    for batch in batches:
-                        imgs = np.zeros((batch, size, size, 3), dtype=np.uint8)
-                        timed(
-                            f"{fam}/restore/{size}/b{batch}",
-                            lambda i=imgs, f=fam: self.restore_batch(i, family_name=f),
-                        )
-        self.logger.info(
-            "Serving warmup complete",
-            {"surfaces": len(report), "seconds": round(sum(report.values()), 1)},
-        )
-        return report
+        return warmup_serving(self, families, sizes, batches, fusion_k, sr_tiled_canvas)
