@@ -29,8 +29,14 @@ import os
 # [BQ, T] probability matrix to the [BQ, D] output (T/D = 64x fewer VPU
 # divides; exact up to bf16 rounding of the unnormalized probs, which like
 # the normalized ones live in (0, 1] after the max subtraction).
+#
+# Defaults from the 2026-08-20 chip autotune (device event clocks, bf16
+# [32, 4096, 64]): bq=256+late_div 2.126 ms (64.7 TFLOP/s) vs 2.231 early-
+# divide and 2.221/2.346 at bq=128; bq=512 slower both ways; bq=1024 fails
+# to compile (16 MB logits block exceeds VMEM). max|diff| vs early-divide
+# 0.00098 = one bf16 level.
 BQ = int(os.environ.get("PALLAS_ATTN_BQ", "256"))
-LATE_DIV = os.environ.get("PALLAS_ATTN_LATE_DIV", "0") == "1"
+LATE_DIV = os.environ.get("PALLAS_ATTN_LATE_DIV", "1") == "1"
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, late_div: bool):
