@@ -33,6 +33,7 @@ import numpy as np
 _SITE = "/opt/venv/lib/python3.12/site-packages"
 _GYM_TEX = f"{_SITE}/gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures"
 _DM_NAT = f"{_SITE}/dm_control/locomotion/arenas/assets/outdoor_natural"
+_ADROIT_TEX = f"{_SITE}/gymnasium_robotics/envs/assets/adroit_hand/resources/textures"
 
 # (path, weight) — weight biases patch sampling toward true scene photos
 # over surface textures so the corpus isn't texture-dominated.
@@ -48,6 +49,15 @@ REAL_PHOTO_SOURCES: tuple[tuple[str, float], ...] = (
     (f"{_GYM_TEX}/white_marble_tile2.png", 1.0),
     (f"{_DM_NAT}/OutdoorGrassFloorD.png", 1.0),
     (f"{_DM_NAT}/OutdoorSkybox2048.png", 1.0),
+    # round-5 corpus broadening (VERDICT r4 item 7): adroit-hand material
+    # photos — marble slab, crumpled aluminium foil (dense high-frequency
+    # texture, the hardest grain-preservation case), brushed metal. The
+    # other candidates audited and REJECTED: pygame intro_*.jpg (game
+    # screenshots), dm_control dog skin (UV atlas), adroit darkwood
+    # (procedurally mirrored), aqt imagenet.png (a paper's table).
+    (f"{_ADROIT_TEX}/marble.png", 1.0),
+    (f"{_ADROIT_TEX}/foil.png", 1.0),
+    (f"{_GYM_TEX}/metal1.png", 1.0),
 )
 
 

@@ -28,7 +28,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=16)
+    # n=48 (was 16, VERDICT r4 item 7): promotion rode max-statistics over
+    # ~6 source photos; one unusual image could force amended-tolerance calls
+    ap.add_argument("--n", type=int, default=48)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--family", default="restore-unet")
     ap.add_argument("--seed", type=int, default=2026)
@@ -138,11 +140,17 @@ def main() -> None:
     report["clean_no_harm"] = {
         "psnr_out": round(harm_psnr, 2),
         "mad_255": round(mad, 2),
+        # p95 is the PROMOTION axis (VERDICT r4 item 7): the max statistic
+        # flips by ~0.5/255 on one image's rounding between statistically
+        # identical candidates; worst stays reported for outlier forensics
+        # (the round-3 +80/255 dark-image catastrophe showed up in both)
+        "p95_mad_255": round(float(np.percentile(per_mad, 95)), 2),
         "worst_mad_255": round(float(per_mad[worst]), 2),
         "worst_image_mean": round(float(clean[worst].mean()), 3),
     }
     print(
         f"  {'clean_no_harm':20s} out {harm_psnr:6.2f} dB  mad {mad:.2f}/255  "
+        f"p95 {report['clean_no_harm']['p95_mad_255']:.2f}/255  "
         f"worst {per_mad[worst]:.2f}/255 (img mean {clean[worst].mean():.2f})",
         file=sys.stderr,
     )

@@ -61,25 +61,26 @@ def attribute_gate_failures(failed_nodes, fam):
 def compare_metrics(shipped: dict, staged: dict, tolerance: float):
     """(regressions, improvements) between two metric dicts.
 
-    Worst-image axes (keys ending ``worst_mad``) are max statistics over a
-    small corpus (n=16): one image's rounding flips them by ~0.5/255 between
-    statistically identical candidates, so they get double tolerance
-    (2026-08-19: a rebalance improving FIVE axes incl. halving the
-    real-corpus worst harm 20.8 -> 16.7 was HOLD'd by a 0.62/255 bump of the
-    procedural corpus's single worst image). Mean axes keep the strict
-    tolerance — the round-4 regression lesson was a MEAN harm regression and
-    still blocks.
+    Clean-harm promotion rides the p95 quantile, not the per-image max
+    (VERDICT r4 item 7): the max statistic over a small corpus flips by
+    ~0.5/255 on one image's rounding between statistically identical
+    candidates (2026-08-19: a rebalance improving FIVE axes incl. halving
+    the real-corpus worst harm 20.8 -> 16.7 was HOLD'd by a 0.62/255 bump
+    of the procedural corpus's single worst image — the "amended
+    tolerance" workaround this replaces). worst_mad axes are tracked for
+    forensics but excluded from the verdict; p95/mean axes use the strict
+    tolerance — the round-4 regression lesson was a MEAN harm regression
+    and still blocks.
     """
     regressions, improvements = {}, {}
     for k, old in shipped.items():
         new = staged.get(k)
-        if new is None:
+        if new is None or k.endswith("worst_mad"):
             continue
-        tol = tolerance * (2.0 if k.endswith("worst_mad") else 1.0)
         delta = new - old
-        if delta < -tol:
+        if delta < -tolerance:
             regressions[k] = {"shipped": round(old, 2), "staged": round(new, 2)}
-        elif delta > tol:
+        elif delta > tolerance:
             improvements[k] = {"shipped": round(old, 2), "staged": round(new, 2)}
     return regressions, improvements
 
@@ -111,14 +112,16 @@ def _flatten_flagship(weights_dir):
     for cls, row in ood.items():
         if cls == "clean_no_harm":
             metrics["ood/clean_mad"] = -row["mad_255"]  # higher(-mad) = better
-            metrics["ood/clean_worst_mad"] = -row["worst_mad_255"]
+            metrics["ood/clean_p95_mad"] = -row.get("p95_mad_255", row["worst_mad_255"])
+            metrics["ood/clean_worst_mad"] = -row["worst_mad_255"]  # forensics only
         else:
             metrics[f"ood/{cls}"] = row["gain_db"]
     real = _run_eval(["scripts/eval_ood.py", "--corpus", "real"], weights_dir)["ood"]
     for cls, row in real.items():
         if cls == "clean_no_harm":
             metrics["real/clean_mad"] = -row["mad_255"]
-            metrics["real/clean_worst_mad"] = -row["worst_mad_255"]
+            metrics["real/clean_p95_mad"] = -row.get("p95_mad_255", row["worst_mad_255"])
+            metrics["real/clean_worst_mad"] = -row["worst_mad_255"]  # forensics only
         else:
             metrics[f"real/{cls}"] = row["gain_db"]
     return metrics
