@@ -163,6 +163,14 @@ class ServingConfig:
     # and -2.55 -> -1.38 dB (real corpus), zero movement on every other class
     # and on cleans (168-image false-fire audit: none); bit-identical off-fire
     deblock: bool = field(default_factory=lambda: _env_int("SERVE_DEBLOCK", 1) == 1)
+    # high-bit-depth deconvolution pre-pass: 16-bit PNG uploads decode to
+    # raw u16 and run the float Wiener deblur with the DISK (defocus)
+    # channel enabled BEFORE 8-bit quantization (ops/deblur.py
+    # deblur_canvas_f32) — at 16-bit precision a defocus disk's spectral
+    # ring nulls carry real contrast, where the u8 serving canvas buries
+    # them under the quantization floor (the physical gate documented in
+    # round 4). 8-bit traffic is untouched by this flag.
+    hdr_deblur: bool = field(default_factory=lambda: _env_int("SERVE_HDR_DEBLUR", 1) == 1)
     # space-to-depth IO for the space-to-depth-stem UNet families (unfolded
     # path): the global residual add happens in s2d layout and the single
     # depth-to-space permutation runs on the final uint8 tensor, so no

@@ -202,6 +202,12 @@ int irp_decode(const uint8_t* buf, size_t len, uint8_t* out, int w, int h) {
       return IRP_ERR_BOUNDS;
     }
     image.format = PNG_FORMAT_RGB;
+    // 16-bit sources: the simplified API assumes 16-bit data is LINEAR and
+    // gamma-encodes it into the 8-bit output (observed up to 73/255 shift on
+    // sRGB-encoded 16-bit files). Real camera/scanner 16-bit PNGs carry
+    // display-encoded values; this flag makes the 8-bit conversion a plain
+    // depth downscale. Raw 16-bit ingest lives in irp_decode_png16.
+    image.flags |= PNG_IMAGE_FLAG_16BIT_sRGB;
     if (!png_image_finish_read(&image, nullptr, out, 0, nullptr)) {
       png_image_free(&image);
       return IRP_ERR_DECODE;
@@ -214,6 +220,86 @@ int irp_decode(const uint8_t* buf, size_t len, uint8_t* out, int w, int h) {
     return IRP_OK;
   }
   return IRP_ERR_FORMAT;
+}
+
+// ------------------------------------------------------- 16-bit PNG decode
+//
+// High-bit-depth ingest for the spectral deconvolution path (ops/deblur.py):
+// a defocus disk's ring nulls sit below the 8-bit quantization floor, so the
+// disk channel is only usable on >=10-bit inputs. The simplified png_image
+// API offers 16-bit output only in LINEAR formats (gamma-converted); the
+// deconvolution wants the file's raw code values, so this uses the classic
+// libpng read path.
+
+// Source bit depth of a PNG byte stream (8/16; IHDR byte 24), or an error.
+int irp_png_bit_depth(const uint8_t* buf, size_t len) {
+  if (irp_sniff(buf, len) != IRP_FMT_PNG || len < 25) return IRP_ERR_FORMAT;
+  return (int)buf[24];
+}
+
+struct PngMemSrc {
+  const uint8_t* buf;
+  size_t len;
+  size_t off;
+};
+
+static void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
+  PngMemSrc* src = (PngMemSrc*)png_get_io_ptr(png);
+  if (src->off + n > src->len) png_error(png, "png: read past end");
+  memcpy(out, src->buf + src->off, n);
+  src->off += n;
+}
+
+// Decode ANY PNG into caller-owned host-endian RGB16 (w*h*3 uint16, from
+// decode_info): raw code values, 8-bit sources promoted v*257, palette and
+// gray expanded, alpha stripped, interlace handled.
+int irp_decode_png16(const uint8_t* buf, size_t len, uint16_t* out, int w, int h) {
+  if (irp_sniff(buf, len) != IRP_FMT_PNG) return IRP_ERR_FORMAT;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return IRP_ERR_DECODE;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return IRP_ERR_DECODE;
+  }
+  png_bytep* rows = (png_bytep*)malloc(sizeof(png_bytep) * (size_t)h);
+  if (!rows) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return IRP_ERR_ALLOC;
+  }
+  PngMemSrc src = {buf, len, 0};
+  int status = IRP_ERR_DECODE;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    free(rows);
+    return status;
+  }
+  png_set_read_fn(png, &src, png_mem_read);
+  png_read_info(png, info);
+  if ((int)png_get_image_width(png, info) != w || (int)png_get_image_height(png, info) != h) {
+    status = IRP_ERR_BOUNDS;
+    png_error(png, "size mismatch");
+  }
+  int ct = png_get_color_type(png, info);
+  if (ct == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (ct == PNG_COLOR_TYPE_GRAY || ct == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  png_set_expand_16(png);      // 1/2/4/8-bit samples -> 16-bit (v * 257)
+  png_set_strip_alpha(png);
+  {                            // PNG samples are big-endian; swap on LE hosts
+    const uint16_t probe = 1;
+    if (*(const uint8_t*)&probe == 1) png_set_swap(png);
+  }
+  (void)png_set_interlace_handling(png);
+  png_read_update_info(png, info);
+  if (png_get_rowbytes(png, info) != (size_t)w * 6) png_error(png, "unexpected rowbytes");
+  for (int y = 0; y < h; y++) rows[y] = (png_bytep)(out + (size_t)y * w * 3);
+  png_read_image(png, rows);
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  free(rows);
+  return IRP_OK;
 }
 
 // --------------------------------------------------------------- sRGB ICC

@@ -79,15 +79,19 @@ _N_BINS = 24  # radial bins for the residual normalization
 # joint corr+nc gate is what separates — clean texture that reaches one
 # statistic never reached both in any calibration corpus (0 false fires in
 # 128 clean/JPEG images across procedural and real-photo sets)
-# The disk (defocus) channel is implemented but DISABLED for 8-bit serving
-# inputs: a disk's ring nulls sit in the mid band where the blurred signal
-# power is comparable to the quantization/sensor noise floor (~1 LSB), so
-# the null contrast that identifies the radius is simply not present in a
-# u8 canvas — measured nc collapses from 0.6-2.2 (float) to 0.1-0.3 (u8,
-# with or without dither/floor-subtraction), indistinguishable from clean
-# content. Motion nulls survive quantization because their line nulls cross
-# the high-SNR low-frequency band. Re-enable if a >=10-bit ingest path
-# lands.
+# The disk (defocus) channel is DISABLED for 8-bit serving inputs: a disk's
+# ring nulls sit in the mid band where the blurred signal power is
+# comparable to the quantization/sensor noise floor (~1 LSB), so the null
+# contrast that identifies the radius is simply not present in a u8 canvas
+# — measured nc collapses from 0.6-2.2 (float) to 0.1-0.3 (u8, with or
+# without dither/floor-subtraction), indistinguishable from clean content.
+# Motion nulls survive quantization because their line nulls cross the
+# high-SNR low-frequency band.
+#
+# The >=10-bit ingest path landed in round 5: 16-bit PNG uploads decode to
+# raw u16 (imageio.decode_image_u16) and run deblur_canvas_f32 with
+# enable_disk=True BEFORE 8-bit quantization (serve/restorator.py HDR
+# pre-pass) — there the ring nulls are real signal and the channel fires.
 DISK_CHANNEL_ENABLED = False
 CORR_DISK_MIN = 0.15
 # the motion channel's protection is nc + the directional-gradient veto +
@@ -333,6 +337,7 @@ def select_hypothesis(
     valid_hw: jnp.ndarray,
     compression: jnp.ndarray,
     size: int = ANALYSIS_SIZE,
+    enable_disk: bool = DISK_CHANNEL_ENABLED,
 ):
     """Per-kind gated selection. Returns (best [B] int32, fire [B] bool).
 
@@ -358,7 +363,7 @@ def select_hypothesis(
     d_corr = jnp.take_along_axis(disk_corr, best_disk[:, None], 1)[:, 0]
     d_nc = jnp.take_along_axis(nc, best_disk[:, None], 1)[:, 0]
     disk_ok = (
-        (d_corr >= CORR_DISK_MIN) & (d_nc >= NC_DISK + comp_pen) & DISK_CHANNEL_ENABLED
+        (d_corr >= CORR_DISK_MIN) & (d_nc >= NC_DISK + comp_pen) & enable_disk
     )
 
     mot_corr = jnp.where(is_disk[None, :], -jnp.inf, corr)
@@ -500,6 +505,46 @@ def deblur_canvas_batch(
 
     out_u8 = jnp.clip(jnp.round(jnp.clip(raw, 0.0, 1.0) * 255.0), 0, 255).astype(jnp.uint8)
     return jnp.where(fire[:, None, None, None], out_u8, canvas_u8)
+
+
+def deblur_canvas_f32(
+    x: jnp.ndarray,
+    valid_hw: jnp.ndarray,
+    compression: jnp.ndarray,
+    size: int = ANALYSIS_SIZE,
+    enable_disk: bool = True,
+) -> jnp.ndarray:
+    """Gated Wiener deblur on FLOAT canvases ([B,H,W,3] in [0,1] -> same).
+
+    The high-bit-depth entry (VERDICT r4 item 8): 16-bit PNG ingest decodes
+    to u16, normalizes to f32, and runs this BEFORE any 8-bit quantization —
+    which is what unlocks the disk (defocus) channel: at float/16-bit
+    precision a defocus disk's spectral ring nulls carry real contrast
+    (nc 0.6-2.2 measured) instead of drowning in the u8 quantization floor.
+    Same estimator, gates, and TV backstop as deblur_canvas_batch; non-fired
+    images pass through untouched.
+    """
+    b, h, w, _ = x.shape
+    if h < size or w < size:
+        return x
+    c = analysis_constants(size)
+    gray = x.mean(axis=-1)
+    best, fire = select_hypothesis(gray, valid_hw, compression, size, enable_disk=enable_disk)
+    is_disk = jnp.asarray(c["is_disk"])[best]
+
+    psf_b = jnp.asarray(c["psfs"])[best]
+    otf = _batched_otf(psf_b, (h, w))
+    k_wiener = (
+        jnp.where(is_disk, K_DISK, K_MOTION) * (1.0 + K_COMPRESSION_SLOPE * compression)
+    )[:, None, None]
+    gain = jnp.conj(otf) / (jnp.abs(otf) ** 2 + k_wiener)
+
+    spec = jnp.fft.rfft2(jnp.transpose(x, (0, 3, 1, 2)))
+    raw = jnp.fft.irfft2(spec * gain[:, None, :, :], s=(h, w))
+    raw = jnp.transpose(raw, (0, 2, 3, 1))
+
+    fire = fire & (_tv(raw, valid_hw) <= TV_RATIO_MAX * _tv(x, valid_hw) + 1e-6)
+    return jnp.where(fire[:, None, None, None], jnp.clip(raw, 0.0, 1.0), x)
 
 
 def deblur_and_recondition(canvas_u8, valid_hw, is_jpeg_f, scores, cond):

@@ -192,12 +192,17 @@ class RestorationEngine:
         deblur=False load a cached executable WITH the stage (found when a
         stage-ablation A/B measured three byte-identical programs)."""
         family_name = tag if isinstance(tag, str) else tag[1]
-        return (
-            tag,
-            ("fold_w", self._uses_folded(family_name)),
-            ("stages", self.config.deblur, self.config.deblock),
-            ("s2d_io", self._uses_s2d_io(family_name)),
-        ) + tuple(
+        if isinstance(tag, tuple) and tag[0] == "hdr_deblur":
+            # not a model family: the pre-pass program has no fold/s2d/stage
+            # structure — shape alone keys it
+            structural = ()
+        else:
+            structural = (
+                ("fold_w", self._uses_folded(family_name)),
+                ("stages", self.config.deblur, self.config.deblock),
+                ("s2d_io", self._uses_s2d_io(family_name)),
+            )
+        return (tag,) + structural + tuple(
             (tuple(a.shape), str(a.dtype)) for a in example_args if hasattr(a, "shape")
         )
 
@@ -454,6 +459,29 @@ class RestorationEngine:
             executable, params, args, family_name, fusionInputs=k,
         )
         return np.asarray(fused_h), np.asarray(scores_h), meta
+
+    def hdr_deblur_batch(
+        self, x_f32: np.ndarray, valid_hw: np.ndarray, compression: np.ndarray
+    ) -> tuple[np.ndarray, dict]:
+        """Float Wiener deblur with the disk channel enabled — the 16-bit
+        PNG ingest pre-pass (ops/deblur.py deblur_canvas_f32). x_f32
+        [N,B,B,3] in [0,1]; runs before any 8-bit quantization, which is
+        what makes defocus (disk PSF) identification physically possible."""
+        from ..ops.deblur import deblur_canvas_f32
+
+        fn = jax.jit(lambda params, x, v, c: deblur_canvas_f32(x, v, c))
+        args = (
+            jax.device_put(np.asarray(x_f32, np.float32)),
+            np.asarray(valid_hw, np.int32),
+            np.asarray(compression, np.float32),
+        )
+        executable = self._aot_executable(
+            ("hdr_deblur", x_f32.shape[1]), args, fn=fn, params={}
+        )
+        out, meta = self._run_sync(
+            f"hdr_deblur/{x_f32.shape[1]}", executable, {}, args, "hdr_deblur"
+        )
+        return np.asarray(out), meta
 
     def sr_batch(self, imgs_u8: np.ndarray, family_name: str = "sr-x2") -> tuple[np.ndarray, dict]:
         """Super-resolution batch (no conditioning)."""

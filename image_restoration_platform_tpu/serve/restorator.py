@@ -131,8 +131,11 @@ class RestoratorService:
             },
         ) as span:
             try:
-                # decode (host C++ stage)
-                pixels, fmt = self._decode(image, options)
+                # decode (host C++ stage); 16-bit PNGs take the HDR
+                # deconvolution pre-pass (disk channel enabled) first
+                pixels, fmt = self._hdr_prepass(image) if self._wants_hdr(image) else (None, None)
+                if pixels is None:
+                    pixels, fmt = self._decode(image, options)
                 family = options.get("model", "restore-unet")
                 if family.startswith("sr-"):
                     return self._restore_sr(pixels, fmt, family, timings, start, span)
@@ -280,6 +283,47 @@ class RestoratorService:
                         "failureStage": _failure_stage(timings),
                     },
                 }
+
+    def _wants_hdr(self, image) -> bool:
+        if not self.config.hdr_deblur or not isinstance(image, (bytes, bytearray)):
+            return False
+        if not imageio.native_available():
+            return False
+        try:
+            return (
+                imageio.sniff_format(bytes(image[:32])) == "png"
+                and imageio.decode_bit_depth(bytes(image[:32])) >= 16
+            )
+        except ValueError:
+            return False
+
+    def _hdr_prepass(self, image) -> tuple[np.ndarray | None, str | None]:
+        """16-bit PNG -> float disk-enabled Wiener deconvolution -> u8 pixels.
+
+        The one OOD class that is PHYSICALLY gated at 8 bits (defocus: disk
+        ring nulls below the quantization floor, ops/deblur.py) becomes
+        recoverable when deconvolution runs on the raw 16-bit samples BEFORE
+        quantization. The image is edge-padded (never resized) to the
+        smallest serving bucket that holds it so the pre-pass reuses a few
+        cached executables; oversized inputs skip the pre-pass (the normal
+        path downscales them, which rescales the PSF out of the bank).
+        Returns (None, None) to fall back to the standard 8-bit decode.
+        """
+        pixels16 = imageio.decode_image_u16(bytes(image))
+        h, w = pixels16.shape[:2]
+        buckets = [b for b in self.config.size_buckets if b >= max(h, w)]
+        if not buckets or min(h, w) < 128:  # deblur analysis needs >=128px
+            return None, None
+        bucket = min(buckets)
+        x = pixels16.astype(np.float32) / 65535.0
+        canvas = np.pad(x, ((0, bucket - h), (0, bucket - w), (0, 0)), mode="edge")
+        out, _meta = self.engine.hdr_deblur_batch(
+            canvas[None],
+            np.asarray([[h, w]], np.int32),
+            np.zeros((1,), np.float32),  # PNG is lossless: compression 0
+        )
+        restored = np.clip(np.round(out[0, :h, :w] * 255.0), 0, 255).astype(np.uint8)
+        return restored, "png"
 
     def _decode(self, image, options: dict) -> tuple[np.ndarray, str | None]:
         if isinstance(image, (bytes, bytearray)):
