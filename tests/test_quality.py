@@ -148,23 +148,7 @@ def _hf_energy(x):
     return float(jnp.mean(jnp.abs(lap))) * 255.0
 
 
-@pytest.mark.parametrize(
-    "family_name",
-    [
-        pytest.param(
-            "sr-x2",
-            marks=pytest.mark.xfail(
-                reason="known defect: sr-x2 still hallucinates texture into "
-                "smooth content (promoted rebal improved the eval axis "
-                "-28 -> -22 dB vs nearest but the gate needs ~0; smooth-heavier "
-                "top-up queued); sr-x4's 2026-08-19 rebal fixed it and its "
-                "gate is hard",
-                strict=False,
-            ),
-        ),
-        "sr-x4",
-    ],
-)
+@pytest.mark.parametrize("family_name", ["sr-x2", "sr-x4"])
 def test_sr_no_texture_hallucination_on_smooth(family_name):
     """The round-3 pure-texture SR retrain hallucinated texture into smooth
     gradients (-5 dB vs nearest) and was rightly not shipped; the round-2
