@@ -93,6 +93,7 @@ def main() -> None:
         data_clean_fraction=float(os.environ.get("TRAIN_DATA_CLEAN_FRACTION", 0.15)),
         data_compression_solo=float(os.environ.get("TRAIN_DATA_COMP_SOLO", 0.0)),
         data_lowlight_solo=float(os.environ.get("TRAIN_DATA_LOWLIGHT_SOLO", 0.0)),
+        anchor_comp=float(os.environ.get("TRAIN_ANCHOR_COMP", 0.0)),
         # chunked schedules (scripts/r4e_deconv_corrected.sh) must vary the
         # seed per chunk or every 10k-step run replays the same batches
         seed=int(os.environ.get("TRAIN_SEED", 0)),

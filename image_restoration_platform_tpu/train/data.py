@@ -847,9 +847,17 @@ def _degrade(key, clean, cfg: DataConfig, protect=None):
     return jnp.clip(x, 0.0, 1.0), strength
 
 
-@partial(jax.jit, static_argnames=("n", "cfg"))
-def synthetic_batch(key: jax.Array, n: int, cfg: DataConfig = DataConfig()):
+@partial(jax.jit, static_argnames=("n", "cfg", "with_masks"))
+def synthetic_batch(
+    key: jax.Array, n: int, cfg: DataConfig = DataConfig(), with_masks: bool = False
+):
     """(degraded [N,S,S,3], clean [N,S,S,3], cond [N,28]) — one device program.
+
+    With ``with_masks=True`` a fourth output is appended: ``comp_only`` [N]
+    in {0,1}, marking damage rows whose ONLY active degradation channel is
+    compression (the compression_solo emphasis rows plus the natural
+    jpeg-only tail). The trainer's identity-anchor term
+    (trainer.py anchor_comp) keys on it.
 
     The conditioning vector is computed by running the SERVING classifier on
     the degraded image (classify/fused.py), not from the applied degradation
@@ -875,4 +883,9 @@ def synthetic_batch(key: jax.Array, n: int, cfg: DataConfig = DataConfig()):
     is_jpeg = jax.random.bernoulli(k_jpeg, 0.7, (n,)).astype(jnp.float32)
     valid = jnp.tile(jnp.asarray([[cfg.size, cfg.size]], jnp.int32), (n, 1))
     _scores, cond = batch_classify_and_condition(degraded * 255.0, valid, is_jpeg)
+    if with_masks:
+        # derived from the strengths _degrade actually applied (post-resample)
+        others = jnp.sum(_strength, axis=1) - _strength[:, 3]
+        comp_only = ((_strength[:, 3] > 0.0) & (others <= 0.0)).astype(jnp.float32)
+        return degraded, clean, cond, comp_only
     return degraded, clean, cond

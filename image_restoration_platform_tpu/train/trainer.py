@@ -92,6 +92,19 @@ class TrainConfig:
     data_compression_solo: float = 0.0
     # low-light-only counterweight share (DataConfig.lowlight_solo)
     data_lowlight_solo: float = 0.0
+    # round-5 identity anchor on compression-only rows (lambda). The plain
+    # compression-solo emphasis made the REAL-corpus jpeg axis WORSE
+    # (-5.13 -> -7.08 dB, validator HOLD 2026-08-20): under an L2-ish loss
+    # the optimum on irrecoverably-compressed texture is the posterior mean
+    # — learned smoothing that generalizes terribly to real texture. The
+    # anchor adds lambda * charbonnier(pred, INPUT) on comp-only rows.
+    # Charbonnier is smooth-L1, so for lambda < 1 the anchor term loses
+    # wherever the clean-target pull is coherent (recoverable content keeps
+    # training toward clean, unchanged) and wins exactly where the clean
+    # pull direction-cancels across the ensemble of plausible targets
+    # (irrecoverable texture) — there the model learns to leave the input
+    # alone instead of smoothing it.
+    anchor_comp: float = 0.0
 
 
 def charbonnier(pred, target, eps):
@@ -151,7 +164,7 @@ def make_train_step(cfg: TrainConfig, mesh=None):
     is_diffusion = hasattr(model_cfg, "unet")  # DiffusionConfig
     sr_scale = getattr(model_cfg, "scale", 1)
 
-    def loss_fn(params, degraded, clean, cond, step=0):
+    def loss_fn(params, degraded, clean, cond, anchor, step=0):
         if is_diffusion and cfg.diffusion_sampler_steps > 0:
             # sampler-aware fine-tune: run the real K-step DDIM restore
             # (differentiable scan) and regress the final image on clean
@@ -230,15 +243,30 @@ def make_train_step(cfg: TrainConfig, mesh=None):
             loss = identity_weighted_charbonnier(
                 pred, clean, degraded, cfg.charbonnier_eps, cfg.identity_weight
             )
+            if cfg.anchor_comp > 0.0:
+                # identity anchor on compression-only rows (see TrainConfig
+                # anchor_comp): smooth-L1 pull toward the INPUT that only
+                # dominates where the clean-target pull direction-cancels
+                per_ex = jnp.mean(
+                    jnp.sqrt(
+                        jnp.square(pred - degraded) + cfg.charbonnier_eps**2
+                    ),
+                    axis=(1, 2, 3),
+                )  # [N]
+                loss = loss + cfg.anchor_comp * jnp.sum(anchor * per_ex) / jnp.maximum(
+                    jnp.sum(anchor), 1.0
+                )
             return loss + cfg.grad_loss_weight * gradient_loss(pred, clean)
         pred = pred.astype(jnp.float32)
         loss = charbonnier(pred, clean, cfg.charbonnier_eps)
         loss = loss + cfg.grad_loss_weight * gradient_loss(pred, clean)
         return loss
 
-    def train_step(state, degraded, clean, cond):
+    def train_step(state, degraded, clean, cond, anchor):
         params, opt_state, step = state
-        loss, grads = jax.value_and_grad(loss_fn)(params, degraded, clean, cond, step)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, degraded, clean, cond, anchor, step
+        )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, step + 1), loss
@@ -322,14 +350,17 @@ class Trainer:
     def place_batch(self, batch):
         if self.mesh is None:
             return batch
-        degraded, clean, cond = batch
+        degraded, clean, cond = batch[:3]
         act = activation_sharding(self.mesh, spatial=False)
         vec = batch_sharding(self.mesh)
-        return (
+        placed = (
             jax.device_put(degraded, act),
             jax.device_put(clean, act),
             jax.device_put(cond, vec),
         )
+        if len(batch) > 3:  # comp-only anchor mask [N]
+            placed = placed + (jax.device_put(batch[3], vec),)
+        return placed
 
     def run(self, steps: int, log_every: int = 50) -> list[float]:
         # the data key persists across run() calls so callers can chunk a
@@ -361,7 +392,7 @@ class Trainer:
                 if self._mix_acc_mild >= 1.0 and cfg_step is self._data_cfg:
                     self._mix_acc_mild -= 1.0
                     cfg_step = self._data_cfg_mild
-            batch = synthetic_batch(bk, self.cfg.batch_size, cfg_step)
+            batch = synthetic_batch(bk, self.cfg.batch_size, cfg_step, with_masks=True)
             batch = self.place_batch(batch)
             self.state, loss = self.step_fn(self.state, *batch)
             if i % log_every == 0 or i == steps - 1:

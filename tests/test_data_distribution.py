@@ -200,10 +200,11 @@ def test_mix_mild_interleave_fractions():
     seen = []
     real_synth = trainer_mod.synthetic_batch
 
-    def fake_synth(key, n, dcfg):
+    def fake_synth(key, n, dcfg, with_masks=False):
         seen.append(dcfg)
         z = jnp.zeros((n, 32, 32, 3), jnp.float32)
-        return z, z, jnp.zeros((n, 28), jnp.float32)
+        out = (z, z, jnp.zeros((n, 28), jnp.float32))
+        return out + (jnp.zeros((n,), jnp.float32),) if with_masks else out
 
     t.step_fn = lambda state, *b: (state, jnp.zeros(()))
     trainer_mod.synthetic_batch = fake_synth
