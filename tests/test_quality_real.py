@@ -37,12 +37,19 @@ N, SIZE, SEED = 8, 128, 424_242
 
 # (degradation, min mean gain dB) — keep in sync with the header note
 GAIN_GATES = (
-    ("poisson_gaussian", 1.5),
-    ("vignette_low_light", 8.0),
-    ("chained", 1.0),
-    ("defocus", -4.5),
-    ("motion", -3.0),
-    ("jpeg_q10_60", -5.8),
+    # re-pinned 2026-08-20 after the identity-anchor promotion; measured
+    # (this fixture, promoted weights): poisson +4.74, vignette +13.21,
+    # chained +2.51, defocus -0.56, motion -0.07, jpeg -0.44 — the jpeg
+    # axis moved -5.13 -> -0.44 (anchored rows stop the learned smoothing
+    # of irrecoverable texture), defocus/motion are near-neutral instead
+    # of harmful, clean mad halved (validator log
+    # docs/measurements/r5/verdict_anchor_promote.log)
+    ("poisson_gaussian", 3.0),
+    ("vignette_low_light", 12.0),
+    ("chained", 1.8),
+    ("defocus", -1.5),
+    ("motion", -1.0),
+    ("jpeg_q10_60", -1.2),
 )
 
 
