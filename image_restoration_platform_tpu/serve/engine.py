@@ -190,7 +190,16 @@ class RestorationEngine:
         the gated serving stages (deblur/deblock), which add or remove
         whole program segments. Omitting them let an engine configured with
         deblur=False load a cached executable WITH the stage (found when a
-        stage-ablation A/B measured three byte-identical programs)."""
+        stage-ablation A/B measured three byte-identical programs).
+
+        MODEL config (registry family dataclasses) is intentionally NOT in
+        this key: it is static in source, and the disk digest already
+        covers it through exec_cache's source-tree fingerprint. The
+        corollary for A/B harnesses: a runtime ``dataclasses.replace`` on a
+        family config does NOT change the digest — isolate
+        ``IRP_EXEC_CACHE_DIR`` per variant or both variants silently run
+        one executable (caught 2026-08-20 when a limiter on/off A/B
+        measured 507.399 vs 507.409 ms)."""
         family_name = tag if isinstance(tag, str) else tag[1]
         if isinstance(tag, tuple) and tag[0] == "hdr_deblur":
             # not a model family: the pre-pass program has no fold/s2d/stage
