@@ -86,19 +86,26 @@ class TestCompareMetrics:
         )
         assert list(regs) == ["photo"] and list(imps) == ["rich"]
 
-    def test_worst_mad_axes_double_tolerance(self):
-        """Max statistics over a small corpus get 2x tolerance: the 0.62/255
-        worst-image bump that HOLD'd the 2026-08-19 flagship rebalance must
-        pass, while a genuine 1.2/255 worst regression still blocks."""
+    def test_worst_mad_axes_forensics_only(self):
+        """VERDICT r4 item 7: promotion verdicts are quantile-based — the
+        per-image max axes are recorded for forensics but EXCLUDED from the
+        verdict entirely (they rode a ~6-photo corpus max-statistic and
+        forced amended-tolerance calls like the 2026-08-19 flagship rebal).
+        The p95 axes carry the clean-harm regression duty at the strict
+        tolerance (test below)."""
+        vs = _load("validate_staging.py")
+        for staged in (-10.26, -10.9, -30.0):
+            regs, imps = vs.compare_metrics(
+                {"ood/clean_worst_mad": -9.64}, {"ood/clean_worst_mad": staged}, 0.5
+            )
+            assert regs == {} and imps == {}
+
+    def test_p95_mad_axis_strict_tolerance(self):
         vs = _load("validate_staging.py")
         regs, _ = vs.compare_metrics(
-            {"ood/clean_worst_mad": -9.64}, {"ood/clean_worst_mad": -10.26}, 0.5
+            {"ood/clean_p95_mad": -9.64}, {"ood/clean_p95_mad": -10.9}, 0.5
         )
-        assert regs == {}
-        regs, _ = vs.compare_metrics(
-            {"ood/clean_worst_mad": -9.64}, {"ood/clean_worst_mad": -10.9}, 0.5
-        )
-        assert list(regs) == ["ood/clean_worst_mad"]
+        assert list(regs) == ["ood/clean_p95_mad"]
 
     def test_mean_harm_axis_still_strict(self):
         vs = _load("validate_staging.py")
