@@ -115,7 +115,13 @@ def srnet_pipeline_apply(params: dict, x: jax.Array, config, mesh: Mesh,
     feat = nn.conv2d(params["pre_up"], feat) + h0
     up = nn.conv2d(params["up"], feat)
     up = nn.pixel_shuffle(up, c.scale)
-    return up + nn.upsample_nearest(x, c.scale)
+    out = up + nn.upsample_nearest(x, c.scale)
+    # residual spectral limiter (models/srnet.py) — applied here after the
+    # pipelined body, matching srnet.apply's in-model placement exactly
+    # (the limiter is local in (x, out) and data-parallel)
+    from ..models.srnet import residual_limit
+
+    return residual_limit(x, out, c)
 
 
 # --------------------------------------------------------------- UNet stages
